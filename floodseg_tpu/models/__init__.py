@@ -1,0 +1,59 @@
+"""Model factory mirroring the reference's arch dispatch.
+
+Reference dispatch: supervised.py:79-93 / flow/base.py:94-103 select
+pspnet / deeplabv3 / vit by the ``arch`` hparam; ``semisupervised`` adds the
+U2PL rep head.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from floodseg_tpu.models.resnet import ResNetFeatures
+from floodseg_tpu.models.pspnet import PSPNet, PPM
+from floodseg_tpu.models.deeplabv3 import DeepLabV3
+from floodseg_tpu.models.vit import SegmenterViT, VisionTransformer, MaskTransformer
+from floodseg_tpu.models.discriminator import S4GANDiscriminator
+
+ARCHS = ("pspnet", "deeplabv3", "vit")
+
+# archs supported by the flow (frame-interpolation) path; the reference
+# excludes vit there (flow/base.py:94-103)
+FLOW_ARCHS = ("pspnet", "deeplabv3")
+
+
+def build_model(
+    arch: str,
+    classes: int = 5,
+    layers: int = 50,
+    image_size: int = 768,
+    semisupervised: bool = False,
+    with_aux: bool = True,
+    dtype: Any = jnp.float32,
+    axis_name: Optional[str] = None,
+):
+    if arch == "pspnet":
+        return PSPNet(classes=classes, layers=layers, with_aux=with_aux,
+                      with_rep=semisupervised, dtype=dtype, axis_name=axis_name)
+    if arch == "deeplabv3":
+        return DeepLabV3(classes=classes, layers=layers, with_aux=with_aux,
+                         with_rep=semisupervised, dtype=dtype, axis_name=axis_name)
+    if arch == "vit":
+        return SegmenterViT(classes=classes, image_size=image_size,
+                            with_rep=semisupervised, dtype=dtype)
+    raise ValueError(f"unknown arch {arch!r}; expected one of {ARCHS}")
+
+
+__all__ = [
+    "ARCHS",
+    "FLOW_ARCHS",
+    "build_model",
+    "ResNetFeatures",
+    "PSPNet",
+    "PPM",
+    "DeepLabV3",
+    "SegmenterViT",
+    "VisionTransformer",
+    "MaskTransformer",
+    "S4GANDiscriminator",
+]

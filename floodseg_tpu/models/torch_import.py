@@ -1,0 +1,134 @@
+"""PyTorch checkpoint -> flax variables converters.
+
+Needed for mIoU parity with the reference, whose accuracy depends on
+pretrained initializations (deep-base ResNet ``initmodel/resnet*_v2.pth``,
+/root/reference/model/resnet.py:200-231; full-model Lightning checkpoints).
+Works on plain state_dict mappings (numpy/torch tensors); torch itself is
+only needed by the caller to load the file.
+
+Layout conventions converted:
+  conv   OIHW -> HWIO
+  linear (out, in) -> (in, out)
+  BN     weight/bias -> scale/bias params; running_mean/var -> batch_stats
+"""
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv(sd, key):
+    return {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+
+
+def _conv_b(sd, key):
+    out = _conv(sd, key)
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _bn(sd, key) -> Tuple[dict, dict]:
+    params = {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    stats = {"mean": _np(sd[f"{key}.running_mean"]), "var": _np(sd[f"{key}.running_var"])}
+    return params, stats
+
+
+def _linear(sd, key):
+    out = {"kernel": _np(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def convert_resnet_backbone(
+    sd: Mapping, blocks, deep_base: bool = True, prefix: str = ""
+) -> Tuple[dict, dict]:
+    """Reference-style ResNet state_dict -> (params, batch_stats) pytrees.
+
+    ``sd`` keys follow /root/reference/model/resnet.py naming
+    (conv1/bn1[,conv2,bn2,conv3,bn3], layer{1..4}.{i}.conv{1..3}/bn{1..3},
+    downsample.0/.1). ``prefix`` selects a sub-tree (e.g. "backbone.").
+    """
+    p: Dict[str, dict] = {}
+    s: Dict[str, dict] = {}
+
+    def take_bn(src, dst):
+        p[dst], s[dst] = _bn(sd, prefix + src)
+
+    p["conv1"] = _conv(sd, prefix + "conv1")
+    take_bn("bn1", "bn1")
+    if deep_base:
+        p["conv2"] = _conv(sd, prefix + "conv2")
+        take_bn("bn2", "bn2")
+        p["conv3"] = _conv(sd, prefix + "conv3")
+        take_bn("bn3", "bn3")
+
+    for li, n in enumerate(blocks, start=1):
+        for bi in range(n):
+            src = f"layer{li}.{bi}"
+            dst = f"layer{li}_block{bi}"
+            blk_p: Dict[str, dict] = {}
+            blk_s: Dict[str, dict] = {}
+            for ci in (1, 2, 3):
+                blk_p[f"conv{ci}"] = _conv(sd, f"{prefix}{src}.conv{ci}")
+                blk_p[f"bn{ci}"], blk_s[f"bn{ci}"] = _bn(sd, f"{prefix}{src}.bn{ci}")
+            if f"{prefix}{src}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = _conv(sd, f"{prefix}{src}.downsample.0")
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
+                    sd, f"{prefix}{src}.downsample.1"
+                )
+            p[dst] = blk_p
+            s[dst] = blk_s
+    return p, s
+
+
+def _seg_head(sd, conv1_key, bn_key, conv2_key) -> Tuple[dict, dict]:
+    params = {
+        "conv1": _conv(sd, conv1_key),
+        "conv2": _conv_b(sd, conv2_key),
+    }
+    params["bn"], stats = _bn(sd, bn_key)
+    return params, {"bn": stats}
+
+
+def convert_pspnet_state_dict(sd: Mapping, layers: int = 50) -> dict:
+    """Reference PSPNet state_dict (/root/reference/model/pspnet.py) -> variables.
+
+    Reference layer0 Sequential indices: 0/1 conv1/bn1, 3/4 conv2/bn2,
+    6/7 conv3/bn3 (relu/maxpool hold no params).
+    """
+    from floodseg_tpu.models.resnet import DEPTH_BLOCKS
+
+    remap = {
+        "conv1": "layer0.0", "bn1": "layer0.1",
+        "conv2": "layer0.3", "bn2": "layer0.4",
+        "conv3": "layer0.6", "bn3": "layer0.7",
+    }
+    flat = dict(sd)
+    for mine, theirs in remap.items():
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            k = f"{theirs}.{suf}"
+            if k in flat:
+                flat[f"{mine}.{suf}"] = flat[k]
+
+    bb_p, bb_s = convert_resnet_backbone(flat, DEPTH_BLOCKS[layers], deep_base=True)
+
+    ppm_p: Dict[str, dict] = {}
+    ppm_s: Dict[str, dict] = {}
+    for i in range(4):
+        ppm_p[f"bin{i}_conv"] = _conv(sd, f"ppm.features.{i}.1")
+        ppm_p[f"bin{i}_bn"], ppm_s[f"bin{i}_bn"] = _bn(sd, f"ppm.features.{i}.2")
+
+    cls_p, cls_s = _seg_head(sd, "cls.0", "cls.1", "cls.4")
+    params = {"backbone": bb_p, "ppm": ppm_p, "cls": cls_p}
+    stats = {"backbone": bb_s, "ppm": ppm_s, "cls": cls_s}
+    if "aux.0.weight" in sd:
+        params["aux"], stats["aux"] = _seg_head(sd, "aux.0", "aux.1", "aux.4")
+    if "rep.0.weight" in sd:
+        params["rep"], stats["rep"] = _seg_head(sd, "rep.0", "rep.1", "rep.4")
+    return {"params": params, "batch_stats": stats}

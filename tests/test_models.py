@@ -1,0 +1,118 @@
+"""Model shape tests + forward parity of PSPNet against the reference model.
+
+The reference's PSPNet (torch) is imported from /root/reference as a test
+oracle: we randomize its weights/BN stats, convert the state_dict with
+torch_import, and require identical eval-mode outputs.
+"""
+
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from floodseg_tpu.models import build_model, S4GANDiscriminator
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _init(model, x, train):
+    return jax.jit(
+        lambda: model.init({"params": KEY, "dropout": KEY}, x, train=train)
+    )()
+
+
+def test_pspnet_shapes():
+    x = jnp.zeros((1, 33, 33, 3))
+    m = build_model("pspnet", classes=5, layers=50, semisupervised=True)
+    vs = _init(m, x, True)
+    out, _ = jax.jit(
+        lambda v: m.apply(v, x, train=True, rngs={"dropout": KEY}, mutable=["batch_stats"])
+    )(vs)
+    assert out["pred"].shape == (1, 33, 33, 5)
+    assert out["aux"].shape == (1, 33, 33, 5)
+    assert out["rep"].shape == (1, 33, 33, 256)
+    # eval: only pred
+    out_eval = jax.jit(lambda v: m.apply(v, x, train=False))(vs)
+    assert set(out_eval) == {"pred"}
+
+
+def test_pspnet_encode_decode_split():
+    x = jnp.zeros((1, 33, 33, 3))
+    m = build_model("pspnet", classes=5, layers=50)
+    vs = _init(m, x, False)
+    f, _ = jax.jit(lambda v: m.apply(v, x, train=False, method="encode"))(vs)
+    assert f.shape == (1, 5, 5, 4096)  # stride 8: (33-1)/8+1, 2048*2 after PPM
+    logits = jax.jit(lambda v, g: m.apply(v, g, train=False, method="decode"))(vs, f)
+    assert logits.shape == (1, 5, 5, 5)
+
+
+def test_deeplabv3_shapes():
+    x = jnp.zeros((1, 32, 32, 3))
+    m = build_model("deeplabv3", classes=5, layers=50, semisupervised=True)
+    vs = _init(m, x, True)
+    out, _ = jax.jit(
+        lambda v: m.apply(v, x, train=True, rngs={"dropout": KEY}, mutable=["batch_stats"])
+    )(vs)
+    assert out["pred"].shape == (1, 32, 32, 5)
+    assert out["aux"].shape == (1, 32, 32, 5)
+    assert out["rep"].shape == (1, 32, 32, 256)
+
+
+def test_vit_shapes():
+    x = jnp.zeros((1, 64, 64, 3))
+    m = build_model("vit", classes=5, image_size=64, semisupervised=True)
+    vs = _init(m, x, True)
+    out = jax.jit(
+        lambda v: m.apply(v, x, train=True, rngs={"dropout": KEY})
+    )(vs)
+    assert out["pred"].shape == (1, 64, 64, 5)
+    assert out["rep"].shape == (1, 64, 64, 256)
+    # non-multiple-of-patch input gets padded and unpadded
+    x2 = jnp.zeros((1, 50, 70, 3))
+    out2 = jax.jit(lambda v: m.apply(v, x2, train=False))(vs)
+    assert out2["pred"].shape == (1, 50, 70, 5)
+
+
+def test_discriminator_shapes():
+    d = S4GANDiscriminator(num_classes=5)
+    x = jnp.zeros((2, 64, 64, 8))
+    vs = d.init({"params": KEY, "dropout": KEY}, x, train=True)
+    logit, feat = d.apply(vs, x, train=False)
+    assert logit.shape == (2,)
+    assert feat.shape == (2, 512)
+
+
+@pytest.mark.slow
+def test_pspnet_forward_parity_with_reference():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from model.pspnet import PSPNet as RefPSPNet  # noqa: E402
+
+    from floodseg_tpu.models.torch_import import convert_pspnet_state_dict
+
+    torch.manual_seed(0)
+    ref = RefPSPNet(SimpleNamespace(layers=50, classes=5, pretrained=False))
+    ref.eval()
+    # randomize BN running stats so eval-mode normalization is nontrivial
+    sd = ref.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn_like(v) * 0.2
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand_like(v) + 0.5
+    ref.load_state_dict(sd)
+
+    x = np.random.default_rng(3).standard_normal((1, 3, 33, 33)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))["pred"].numpy().transpose(0, 2, 3, 1)
+
+    m = build_model("pspnet", classes=5, layers=50)
+    variables = convert_pspnet_state_dict(ref.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+    ours = jax.jit(lambda v, y: m.apply(v, y, train=False))(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )["pred"]
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-3, atol=1e-3)
