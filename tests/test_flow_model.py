@@ -1,0 +1,172 @@
+"""Parity tests: FlowInterpolator vs the reference FlowModel (torch oracle).
+
+The reference's flow/model.py only depends on torch, so we import it from
+/root/reference directly, drive it with a tiny conv encoder/decoder, and
+require our scan-based single-program clip step to reproduce its outputs.
+"""
+
+import sys
+from contextlib import contextmanager
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+from floodseg_tpu.video import FlowInterpolator, default_grid  # noqa: E402
+from floodseg_tpu.video.grid import crop_motion_vectors_np  # noqa: E402
+
+
+class _Profiler:
+    @contextmanager
+    def profile(self, name):
+        yield
+
+
+class _TinyTorch(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        torch.manual_seed(1)
+        self.encoder = torch.nn.Conv2d(3, 8, 4, stride=4)
+        self.decoder = torch.nn.Conv2d(8, 5, 1)
+
+
+def _make_pair():
+    tm = _TinyTorch().eval()
+    enc_w = tm.encoder.weight.detach().numpy()
+    enc_b = tm.encoder.bias.detach().numpy()
+    dec_w = tm.decoder.weight.detach().numpy()
+    dec_b = tm.decoder.bias.detach().numpy()
+
+    def encode(x):
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(enc_w.transpose(2, 3, 1, 0)), (4, 4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest",
+        )
+        return y + jnp.asarray(enc_b)
+
+    def decode(f):
+        y = jax.lax.conv_general_dilated(
+            f, jnp.asarray(dec_w.transpose(2, 3, 1, 0)), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision="highest",
+        )
+        return y + jnp.asarray(dec_b)
+
+    return tm, encode, decode
+
+
+import jax  # noqa: E402
+
+
+def _grids(rng, t, b, gh, gw):
+    """Smooth near-identity grids."""
+    base = np.stack(
+        np.meshgrid(np.linspace(-1, 1, gw), np.linspace(-1, 1, gh)), axis=-1
+    )[None]
+    g = base + rng.uniform(-0.08, 0.08, size=(t, b, gh, gw, 2))
+    return g.astype(np.float32)
+
+
+@pytest.mark.parametrize("feature_based", [True, False])
+def test_predict_clip_matches_reference(feature_based):
+    from flow.model import FlowModel  # reference oracle
+
+    rng = np.random.default_rng(7)
+    tm, encode, decode = _make_pair()
+    ref = FlowModel(tm, feature_based=feature_based).eval()
+
+    n = 5
+    frame_prev = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    frame_next = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    mvs_l = _grids(rng, n - 1, 1, 4, 4)
+    mvs_r = _grids(rng, n - 1, 1, 4, 4)
+
+    with torch.no_grad():
+        ref_out = ref.predict(
+            torch.from_numpy(frame_prev.transpose(0, 3, 1, 2)),
+            torch.from_numpy(frame_next.transpose(0, 3, 1, 2)),
+            [torch.from_numpy(m) for m in mvs_l],
+            [torch.from_numpy(m) for m in mvs_r],
+            n,
+            _Profiler(),
+        )["pred"].numpy().transpose(0, 2, 3, 1)
+
+    interp = FlowInterpolator(encode, decode, feature_based=feature_based)
+    ours = jax.jit(
+        lambda fp, fn, ml, mr, dg: interp.predict_clip(fp, fn, ml, mr, n, dg)
+    )(
+        jnp.asarray(frame_prev), jnp.asarray(frame_next),
+        jnp.asarray(mvs_l), jnp.asarray(mvs_r),
+        jnp.asarray(default_grid()),
+    )
+    assert ours.shape == ref_out.shape == (n, 64, 64, 5)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("feature_based", [True, False])
+def test_train_forward_matches_reference(feature_based):
+    from flow.model import FlowModel
+
+    rng = np.random.default_rng(9)
+    tm, encode, decode = _make_pair()
+    ref = FlowModel(tm, feature_based=feature_based).train()
+
+    b, t = 3, 4
+    frame_prev = rng.standard_normal((b, 64, 64, 3)).astype(np.float32)
+    frame_next = rng.standard_normal((b, 64, 64, 3)).astype(np.float32)
+    mvs_l = _grids(rng, t, b, 4, 4)
+    mvs_r = _grids(rng, t, b, 4, 4)
+    left_index = np.array([1, 3, 2])
+    right_index = np.array([4, 2, 1])
+
+    with torch.no_grad():
+        ref_out = ref(
+            None,
+            torch.from_numpy(frame_prev.transpose(0, 3, 1, 2)),
+            torch.from_numpy(frame_next.transpose(0, 3, 1, 2)),
+            [torch.from_numpy(mvs_l[j]) for j in range(t)],
+            [torch.from_numpy(mvs_r[j]) for j in range(t)],
+            list(left_index),
+            list(right_index),
+        )["pred"].numpy().transpose(0, 2, 3, 1)
+
+    interp = FlowInterpolator(encode, decode, feature_based=feature_based)
+    ours = jax.jit(interp.train_forward)(
+        jnp.asarray(frame_prev), jnp.asarray(frame_next),
+        jnp.asarray(mvs_l), jnp.asarray(mvs_r),
+        jnp.asarray(left_index), jnp.asarray(right_index),
+    )
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_crop_motion_vectors_matches_reference():
+    sys.path.insert(0, "/root/reference")
+    from flow.transform import crop_motion_vector as ref_crop
+
+    rng = np.random.default_rng(3)
+    grids = [rng.uniform(-1, 1, size=(67, 120, 2)).astype(np.float32) for _ in range(3)]
+    h, w, ch, cw, ho, wo = 1072, 1920, 433, 433, 100, 250
+
+    ref_l, ref_r = ref_crop(
+        [g.copy() for g in grids], [g.copy() for g in grids], h, w, ch, cw, ho, wo
+    )
+    ours = crop_motion_vectors_np([g.copy() for g in grids], h, w, ch, cw, ho, wo)
+    for a, b_ in zip(ours, ref_l):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)
+
+
+def test_no_warp_predict_is_linear_blend():
+    rng = np.random.default_rng(5)
+    _, encode, decode = _make_pair()
+    interp = FlowInterpolator(encode, decode, feature_based=True, no_warp=True)
+    n = 4
+    fp = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), dtype=jnp.float32)
+    fn = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), dtype=jnp.float32)
+    out = interp.predict_clip(fp, fn, None, None, n)
+    assert out.shape == (n, 64, 64, 5)
+    # frame 0 equals the plain single-frame path
+    single = interp.predict_clip(fp, None, None, None, 1)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single[0]), rtol=1e-5, atol=1e-5)
