@@ -1,0 +1,66 @@
+"""Optimizers and LR schedules.
+
+Reference semantics reproduced:
+- poly LR: lr = base * (1 - it/max_iter)^0.9 stepped every batch
+  (/root/reference/util/util.py:28, base/foundation.py:124-132)
+- backbone params at lr, head params at 10x lr (supervised.py:96-110;
+  head = everything that is not the pretrained backbone/encoder)
+- torch.optim.SGD(momentum=0.9, weight_decay=1e-4): wd added to the raw
+  gradient BEFORE the momentum buffer, update = -lr * buffer
+- torch.optim.Adam(betas, eps) for the vit arch / discriminator
+"""
+
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+
+# top-level param-tree keys that belong to the pretrained backbone (lr x1);
+# everything else is a head (lr x10)
+BACKBONE_KEYS = ("backbone", "encoder")
+
+
+def poly_schedule(base_lr: float, max_iter: int, power: float = 0.9) -> Callable:
+    def schedule(step):
+        frac = 1.0 - jax.numpy.minimum(step + 1, max_iter) / max_iter
+        return base_lr * frac ** power
+    return schedule
+
+
+def head_mask(params) -> Any:
+    """Pytree of bools: True for head (10x LR) params."""
+    def top(key):
+        return key not in BACKBONE_KEYS
+
+    return {k: jax.tree.map(lambda _: top(k), v) for k, v in params.items()}
+
+
+def make_optimizer(
+    base_lr: float,
+    max_iter: int,
+    optimizer: str = "sgd",
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    power: float = 0.9,
+    head_lr_scale: float = 10.0,
+    betas=(0.9, 0.999),
+    constant_lr: bool = False,
+) -> optax.GradientTransformation:
+    lr = base_lr if constant_lr else poly_schedule(base_lr, max_iter, power)
+    parts = []
+    if optimizer == "sgd":
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=False))
+    elif optimizer == "adam":
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    if head_lr_scale != 1.0:
+        # optax.masked accepts a callable, evaluated lazily against params
+        parts.append(optax.masked(optax.scale(head_lr_scale), head_mask))
+    parts.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*parts)
