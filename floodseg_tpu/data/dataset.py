@@ -116,7 +116,28 @@ class FlowDataset:
             self.video_id = predict_v_id
             frames = os.listdir(os.path.join(data_root, "frames", predict_v_id, "images"))
             self.length = len(frames) // frame_delta
+        # identity padding grid sized like the dataset's real grids (the
+        # reference hardcodes the 1072x1920 -> 67x120 shape, flow/model.py:11;
+        # we probe an actual grid file so synthetic/custom resolutions work)
         self.default_grid = default_grid().astype(np.float32)
+        probe = self._find_any_grid()
+        if probe is not None and probe.shape != self.default_grid.shape:
+            bh, bw = probe.shape[:2]
+            self.default_grid = default_grid(bh * 16, bw * 16).astype(np.float32)
+
+    def _find_any_grid(self):
+        frames_root = os.path.join(self.data_root, "frames")
+        if not os.path.isdir(frames_root):
+            return None
+        for v in sorted(os.listdir(frames_root)):
+            gdir = os.path.join(frames_root, v, "grids")
+            if os.path.isdir(gdir):
+                for f in sorted(os.listdir(gdir))[:1]:
+                    try:
+                        return np.load(os.path.join(gdir, f))
+                    except Exception:
+                        return None
+        return None
 
     def __len__(self):
         return self.length

@@ -73,6 +73,16 @@ class DataLoader:
             rng = np.random.default_rng((self.seed, epoch, int(i)))
             return self.dataset.get(int(i), rng)
 
+        def put(item) -> bool:
+            """Queue-put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
             try:
@@ -85,12 +95,15 @@ class DataLoader:
                         batch = collate(items)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
-                        out_q.put(batch)
+                        if not put(batch):
+                            return
                     if not self.infinite:
                         break
                     epoch += 1
+            except BaseException as e:  # surface errors to the consumer
+                put(("__error__", e))
             finally:
-                out_q.put(None)
+                put(None)
                 pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -100,6 +113,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, tuple) and len(batch) == 2 and batch[0] == "__error__":
+                    raise RuntimeError("DataLoader worker failed") from batch[1]
                 yield batch
         finally:
             stop.set()

@@ -144,3 +144,61 @@ def multi_scale_test(
         )
     acc /= len(scales)
     return np.argmax(acc, axis=2)
+
+
+def flow_sliding_window_test(
+    crop_fn: Callable,
+    variables,
+    batch: Dict,
+    num_classes: int,
+    crop_h: int,
+    crop_w: int,
+    stride_rate: float = 2 / 3,
+) -> np.ndarray:
+    """Flow test inference with crop-wise grid renormalization
+    (/root/reference/flow/base.py:182-223).
+
+    ``batch``: single-sample numpy batch with frame_prev/frame_next
+    (1, H, W, 3) ALREADY normalized (the flow test pipeline normalizes,
+    flow/base.py:412-425), time-major grids (T, 1, gh, gw, 2) and
+    left/right_index (1,). All crops run as one device batch. Returns the
+    (H, W) argmax class map.
+    """
+    from floodseg_tpu.video.grid import crop_motion_vectors_np
+
+    fp = np.asarray(batch["frame_prev"])[0]
+    fn = np.asarray(batch["frame_next"])[0]
+    h, w = fp.shape[:2]
+    offs = crop_offsets(h, w, crop_h, crop_w, stride_rate)
+    t = np.asarray(batch["mvs_left"]).shape[0]
+
+    fp_crops, fn_crops, ml_crops, mr_crops = [], [], [], []
+    for sh, sw in offs:
+        fp_crops.append(fp[sh:sh + crop_h, sw:sw + crop_w])
+        fn_crops.append(fn[sh:sh + crop_h, sw:sw + crop_w])
+        ml = [np.asarray(batch["mvs_left"])[j, 0] for j in range(t)]
+        mr = [np.asarray(batch["mvs_right"])[j, 0] for j in range(t)]
+        ml = crop_motion_vectors_np(ml, h, w, crop_h, crop_w, sh, sw)
+        mr = crop_motion_vectors_np(mr, h, w, crop_h, crop_w, sh, sw)
+        ml_crops.append(np.stack(ml))
+        mr_crops.append(np.stack(mr))
+
+    n_crops = len(offs)
+    li = np.repeat(np.asarray(batch["left_index"])[:1], n_crops)
+    ri = np.repeat(np.asarray(batch["right_index"])[:1], n_crops)
+    probs = np.asarray(crop_fn(
+        variables,
+        jnp.asarray(np.stack(fp_crops)),
+        jnp.asarray(np.stack(fn_crops)),
+        jnp.asarray(np.stack(ml_crops, axis=1)),   # (T, N, bh, bw, 2)
+        jnp.asarray(np.stack(mr_crops, axis=1)),
+        jnp.asarray(li), jnp.asarray(ri),
+    ))
+
+    canvas = np.zeros((h, w, num_classes), dtype=np.float64)
+    count = np.zeros((h, w, 1), dtype=np.float64)
+    for (sh, sw), p in zip(offs, probs):
+        canvas[sh:sh + crop_h, sw:sw + crop_w] += p
+        count[sh:sh + crop_h, sw:sw + crop_w] += 1
+    canvas /= count
+    return np.argmax(canvas, axis=-1)

@@ -1,0 +1,208 @@
+"""Flow (frame-interpolation) train/eval/predict steps.
+
+Reference engines: flow/supervised.py (OHEM CE on the interpolated
+prediction), flow/base.py:141-344 (val/test/predict). BN running stats are
+threaded sequentially through encode(prev) -> encode(next) -> decode exactly
+like consecutive torch module calls.
+"""
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from floodseg_tpu.ops.metrics import intersection_and_union
+from floodseg_tpu.ops.resize import resize_bilinear
+from floodseg_tpu.video.flow_model import (
+    FlowInterpolator,
+    warp_chain_masked,
+    interp_weight,
+)
+
+
+def _encode(model, variables, x, train, rng=None, mutable=False):
+    kwargs = dict(train=train, method="encode")
+    if rng is not None:
+        kwargs["rngs"] = {"dropout": rng}
+    if mutable:
+        (f, _feats), mut = model.apply(variables, x, mutable=["batch_stats"], **kwargs)
+        return f, mut["batch_stats"]
+    f, _feats = model.apply(variables, x, **kwargs)
+    return f, variables.get("batch_stats")
+
+
+def _decode(model, variables, f, train, rng=None, mutable=False):
+    kwargs = dict(train=train, method="decode")
+    if rng is not None:
+        kwargs["rngs"] = {"dropout": rng}
+    if mutable:
+        logits, mut = model.apply(variables, f, mutable=["batch_stats"], **kwargs)
+        return logits, mut["batch_stats"]
+    return model.apply(variables, f, **kwargs), variables.get("batch_stats")
+
+
+def flow_train_forward(model, params, batch_stats, batch, rng, train: bool,
+                       feature_based: bool = True, no_warp: bool = False):
+    """Interpolated training forward; returns (logits, new_batch_stats)."""
+    fp, fn = batch["frame_prev"], batch["frame_next"]
+    li, ri = batch["left_index"], batch["right_index"]
+    h, w = fp.shape[1], fp.shape[2]
+    n = (li + ri).astype(jnp.float32)
+    r1, r2, r3 = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
+
+    vs = {"params": params, "batch_stats": batch_stats}
+    f_prev, bs = _encode(model, vs, fp, train, r1, mutable=train)
+    vs = {"params": params, "batch_stats": bs}
+    f_next, bs = _encode(model, vs, fn, train, r2, mutable=train)
+
+    if feature_based:
+        if no_warp:
+            wp, wn = f_prev, f_next
+        else:
+            wp = warp_chain_masked(f_prev, batch["mvs_left"], li)
+            wn = warp_chain_masked(f_next, batch["mvs_right"], ri)
+        f = wp * interp_weight(li, n, wp.dtype) + wn * interp_weight(ri, n, wn.dtype)
+        vs = {"params": params, "batch_stats": bs}
+        logits, bs = _decode(model, vs, f, train, r3, mutable=train)
+    else:
+        vs = {"params": params, "batch_stats": bs}
+        o_prev, bs = _decode(model, vs, f_prev, train, r3, mutable=train)
+        vs = {"params": params, "batch_stats": bs}
+        o_next, bs = _decode(model, vs, f_next, train, r3, mutable=train)
+        if no_warp:
+            wp, wn = o_prev, o_next
+        else:
+            wp = warp_chain_masked(o_prev, batch["mvs_left"], li)
+            wn = warp_chain_masked(o_next, batch["mvs_right"], ri)
+        logits = wp * interp_weight(li, n, wp.dtype) + wn * interp_weight(ri, n, wn.dtype)
+
+    if logits.shape[1] != h or logits.shape[2] != w:
+        logits = resize_bilinear(logits, (h, w), align_corners=True)
+    return logits, bs
+
+
+def plain_train_forward(model, params, batch_stats, images, rng, train: bool):
+    """Single-frame encoder->decoder forward (the no-interpolation branch,
+    flow/model.py:37-43). Returns (logits, new_batch_stats)."""
+    h, w = images.shape[1], images.shape[2]
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    vs = {"params": params, "batch_stats": batch_stats}
+    f, bs = _encode(model, vs, images, train, r1, mutable=train)
+    vs = {"params": params, "batch_stats": bs}
+    logits, bs = _decode(model, vs, f, train, r2, mutable=train)
+    if logits.shape[1] != h or logits.shape[2] != w:
+        logits = resize_bilinear(logits, (h, w), align_corners=True)
+    return logits, bs
+
+
+def make_flow_train_step(model, loss_fn: Callable, num_classes: int,
+                         ignore_index: int = 255,
+                         feature_based: bool = True,
+                         no_warp: bool = False) -> Tuple[Callable, Callable]:
+    """Returns (interp_step, plain_step). The caller flips a host-side coin
+    with no_interpolation_percentage to pick one per batch (flow/model.py:37,
+    data-dependent Python control flow stays out of the compiled program)."""
+
+    def _step(state, batch, rng, plain: bool):
+        labels = batch["label"]
+
+        def compute_loss(params):
+            if plain:
+                logits, bs = plain_train_forward(
+                    model, params, state.batch_stats, batch["frame_current"],
+                    rng, train=True,
+                )
+            else:
+                logits, bs = flow_train_forward(
+                    model, params, state.batch_stats, batch, rng, train=True,
+                    feature_based=feature_based, no_warp=no_warp,
+                )
+            return loss_fn({"pred": logits}, labels), (logits, bs)
+
+        (loss, (logits, bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=bs)
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union, target = intersection_and_union(
+            pred, labels, num_classes, ignore_index
+        )
+        return new_state, {"loss": loss, "intersection": inter, "union": union,
+                           "target": target}
+
+    return partial(_step, plain=False), partial(_step, plain=True)
+
+
+def make_flow_eval_step(model, num_classes: int, ignore_index: int = 255,
+                        feature_based: bool = True, no_warp: bool = False) -> Callable:
+    """Whole-frame validation step (flow/base.py:141-152)."""
+
+    def eval_step(state, batch):
+        logits, _ = flow_train_forward(
+            model, state.params, state.batch_stats, batch, rng=None,
+            train=False, feature_based=feature_based, no_warp=no_warp,
+        )
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union, target = intersection_and_union(
+            pred, batch["label"], num_classes, ignore_index
+        )
+        return {"intersection": inter, "union": union, "target": target}
+
+    return eval_step
+
+
+def make_flow_predict_fn(model, n: int, feature_based: bool = True,
+                         no_warp: bool = False,
+                         out_size: Tuple[int, int] = (1072, 1920),
+                         default_grid: Optional[np.ndarray] = None) -> Callable:
+    """One jitted program for a whole key-frame window.
+
+    Returns fn(variables, frame_prev, frame_next, mvs_left, mvs_right) ->
+    (n, out_h, out_w) int32 class maps: interpolation + upsample to the
+    output frame size (align_corners=True) + argmax all on device
+    (flow/base.py:271-277 keeps the upsample inside the timed region, so the
+    benchmark includes it).
+    """
+    dg = None if default_grid is None else jnp.asarray(default_grid)
+
+    @jax.jit
+    def predict_fn(variables, frame_prev, frame_next, mvs_left, mvs_right):
+        interp = FlowInterpolator(
+            encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
+            decode=lambda f: model.apply(variables, f, train=False, method="decode"),
+            feature_based=feature_based,
+            no_warp=no_warp,
+        )
+        logits = interp.predict_clip(
+            frame_prev, frame_next, mvs_left, mvs_right, n,
+            default_grid=dg, out_size=out_size,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict_fn
+
+
+def make_flow_test_crop_fn(model, num_classes: int, feature_based: bool = True,
+                           no_warp: bool = False) -> Callable:
+    """Batched crop forward for the flow sliding-window test
+    (flow/base.py:182-223): all crops of a frame run as one device batch,
+    softmax probs upsampled to crop size align_corners=True."""
+
+    @jax.jit
+    def crop_fn(variables, frame_prev, frame_next, mvs_left, mvs_right,
+                left_index, right_index):
+        batch = {
+            "frame_prev": frame_prev, "frame_next": frame_next,
+            "mvs_left": mvs_left, "mvs_right": mvs_right,
+            "left_index": left_index, "right_index": right_index,
+        }
+        logits, _ = flow_train_forward(
+            model, variables["params"], variables.get("batch_stats", {}),
+            batch, rng=None, train=False,
+            feature_based=feature_based, no_warp=no_warp,
+        )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :num_classes]
+
+    return crop_fn

@@ -1,0 +1,142 @@
+"""Predict runner: per-clip interpolation inference over a whole video,
+temporal-consistency metric, colorized PNG / AVI output.
+
+Reference: FlowBaseModel.predict_step / on_predict_end
+(/root/reference/flow/base.py:226-344). The temporal-consistency "mIoU"
+treats the previous frame's prediction as the target of the current one,
+including across clip boundaries via the carried last_output.
+"""
+
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from floodseg_tpu.ops.metrics import MetricMeter, intersection_and_union
+from floodseg_tpu.core.profiler import PhaseProfiler
+
+
+def colorize(class_map: np.ndarray, colors: np.ndarray) -> np.ndarray:
+    """(H, W) int -> (H, W, 3) uint8 using the palette (util/util.py:67)."""
+    return colors[class_map]
+
+
+class _Cv2Writer:
+    """25fps AVI writer via cv2 (the reference uses imageio-ffmpeg,
+    flow/base.py:252-257; we fall back to OpenCV's bundled codecs)."""
+
+    def __init__(self, path: str, fps: int):
+        import cv2
+        self._cv2 = cv2
+        self._path = path
+        self._fps = fps
+        self._writer = None
+
+    def append_data(self, frame_rgb: np.ndarray):
+        if self._writer is None:
+            h, w = frame_rgb.shape[:2]
+            fourcc = self._cv2.VideoWriter_fourcc(*"MJPG")
+            self._writer = self._cv2.VideoWriter(self._path, fourcc, self._fps, (w, h))
+        self._writer.write(self._cv2.cvtColor(frame_rgb, self._cv2.COLOR_RGB2BGR))
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.release()
+
+
+def _open_video_writer(path: str, fps: int):
+    try:
+        import imageio
+        return imageio.get_writer(path, fps=fps, mode="I", format="FFMPEG",
+                                  macro_block_size=None)
+    except Exception:
+        return _Cv2Writer(path, fps)
+
+
+def run_predict(
+    predict_fn: Callable,
+    variables,
+    loader,
+    num_classes: int,
+    colors: Optional[np.ndarray] = None,
+    save_images_dir: Optional[str] = None,
+    video_path: Optional[str] = None,
+    fps: int = 25,
+    compute_metrics: bool = True,
+    profiler: Optional[PhaseProfiler] = None,
+) -> Dict:
+    """Drive ``predict_fn`` over clip batches from ``loader``.
+
+    predict_fn(variables, frame_prev, frame_next, mvs_left, mvs_right) ->
+    (n, H, W) int class maps. Returns summary dict with temporal-consistency
+    metrics and timing.
+    """
+    import jax
+
+    profiler = profiler or PhaseProfiler()
+    meter = MetricMeter(num_classes)
+    last_output = None
+    writer = None
+    if video_path:
+        os.makedirs(os.path.dirname(video_path), exist_ok=True)
+        writer = _open_video_writer(video_path, fps)
+    if save_images_dir:
+        os.makedirs(save_images_dir, exist_ok=True)
+
+    frames_done = 0
+    for batch in loader:
+        fp = jnp.asarray(batch["frame_prev"])
+        fn = jnp.asarray(batch["frame_next"])
+        ml = jnp.asarray(batch["mvs_left"])
+        mr = jnp.asarray(batch["mvs_right"])
+        with profiler.profile("predict_interference"):
+            out = predict_fn(variables, fp, fn, ml, mr)
+            out = jax.block_until_ready(out)
+        out_np = np.asarray(out).astype(np.uint8)
+        n = out_np.shape[0]
+        frames_done += n
+
+        if compute_metrics:
+            for p in range(n):
+                prev = out_np[p - 1] if p > 0 else last_output
+                if prev is not None:
+                    inter, union, tgt = (
+                        np.asarray(a) for a in intersection_and_union(
+                            jnp.asarray(out_np[p].astype(np.int32)),
+                            jnp.asarray(prev.astype(np.int32)),
+                            num_classes,
+                        )
+                    )
+                    meter.update(inter, union, tgt)
+            last_output = out_np[n - 1]
+
+        frame_id = int(np.asarray(batch["frame_id"])[0]) if "frame_id" in batch else frames_done - n
+        for p in range(n):
+            if save_images_dir is not None and colors is not None:
+                from PIL import Image
+                img = Image.fromarray(out_np[p], mode="P")
+                img.putpalette(colors.astype(np.uint8).flatten().tolist())
+                img.save(os.path.join(save_images_dir, f"{frame_id + p}.png"))
+            if writer is not None and colors is not None:
+                writer.append_data(colorize(out_np[p], colors))
+
+    if writer is not None:
+        writer.close()
+
+    summary = {
+        "predict_time_mean": profiler.mean("predict_interference"),
+        "predict_time_sum": profiler.sum("predict_interference"),
+        "frames": frames_done,
+    }
+    if compute_metrics and meter.count > 0:
+        s = meter.summary()
+        summary.update({
+            "predict_miou1_epoch": s["miou"],
+            "predict_macc1_epoch": s["macc"],
+            "predict_accuracy1_epoch": s["allacc"],
+            "predict_miou1_epoch_classes": s["iou_class"],
+        })
+    if summary["predict_time_sum"] > 0:
+        summary["frames_per_second"] = frames_done / summary["predict_time_sum"]
+    return summary

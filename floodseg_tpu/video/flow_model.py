@@ -39,6 +39,37 @@ def warp(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return grid_sample(x, grid, align_corners=False)
 
 
+def warp_chain_masked(f: jnp.ndarray, grids: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """Warp each sample through its first ``index`` grids (training path).
+
+    f: (B, H, W, C) maps; grids: (T, B, gh, gw, 2) padded chains; index: (B,)
+    int >= 1. Chains run at grid resolution with a ``j < index`` mask, then
+    resize back to (H, W) align_corners=True (flow/model.py:92-106).
+    """
+    b, h, w, c = f.shape
+    t = grids.shape[0]
+    y = warp(f, grids[0])  # index >= 1 always; shape -> grid res
+
+    def step(carry, inp):
+        j, g = inp
+        nxt = warp(carry, g)
+        keep = (j < index)[:, None, None, None]
+        return jnp.where(keep, nxt, carry), None
+
+    if t > 1:
+        js = jnp.arange(1, t)
+        y, _ = jax.lax.scan(step, y, (js, grids[1:]))
+    if y.shape[1] != h or y.shape[2] != w:
+        y = resize_bilinear(y, (h, w), align_corners=True)
+    return y
+
+
+def interp_weight(index: jnp.ndarray, n: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(n - index) / n broadcast over NHWC (flow/model.py:104)."""
+    s = (n.astype(jnp.float32) - index.astype(jnp.float32)) / n.astype(jnp.float32)
+    return s[:, None, None, None].astype(dtype)
+
+
 @dataclass(frozen=True)
 class FlowInterpolator:
     """Wraps an encoder/decoder pair with keyframe-warp interpolation.
@@ -59,27 +90,7 @@ class FlowInterpolator:
     # ---------------- training ----------------
 
     def _warp_chain_masked(self, f, grids, index):
-        """Warp each sample through its first ``index`` grids.
-
-        f: (B, H, W, C) maps; grids: (T, B, gh, gw, 2) padded chains;
-        index: (B,) int >= 1. Returns (B, H, W, C) (resized back).
-        """
-        b, h, w, c = f.shape
-        t = grids.shape[0]
-        y = warp(f, grids[0])  # index >= 1 always; shape -> grid res
-
-        def step(carry, inp):
-            j, g = inp
-            nxt = warp(carry, g)
-            keep = (j < index)[:, None, None, None]
-            return jnp.where(keep, nxt, carry), None
-
-        if t > 1:
-            js = jnp.arange(1, t)
-            y, _ = jax.lax.scan(step, y, (js, grids[1:]))
-        if y.shape[1] != h or y.shape[2] != w:
-            y = resize_bilinear(y, (h, w), align_corners=True)
-        return y
+        return warp_chain_masked(f, grids, index)
 
     def train_forward(
         self,

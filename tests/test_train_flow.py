@@ -1,0 +1,117 @@
+"""Flow training/predict end-to-end on the synthetic dataset."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from floodseg_tpu.data import FlowDataset, DataLoader, build_train_transform, build_test_transform
+from floodseg_tpu.data.synthetic import generate_synthetic_dataset, PALETTE
+from floodseg_tpu.models import build_model
+from floodseg_tpu.train.optim import make_optimizer
+from floodseg_tpu.train.state import create_train_state
+from floodseg_tpu.train.supervised import make_loss_fn
+from floodseg_tpu.train.flow import (
+    make_flow_train_step,
+    make_flow_eval_step,
+    make_flow_predict_fn,
+)
+from floodseg_tpu.train.predict import run_predict
+
+DELTA = 5
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthflow")
+    return generate_synthetic_dataset(str(root), num_frames=30, frame_delta=DELTA,
+                                      size=(96, 128), num_labeled=6)
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    model = build_model("pspnet", classes=5, layers=50, with_aux=False)
+    tx = make_optimizer(base_lr=0.001, max_iter=10)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 33, 33, 3)), tx=tx
+    )
+    return model, state
+
+
+@pytest.mark.slow
+def test_flow_train_step(synth_root, model_and_state):
+    model, state = model_and_state
+    tf = build_train_transform(33, 33, resize=(96, 128), with_rotate=False,
+                               scale_min=0.9, scale_max=1.1)
+    ds = FlowDataset("train", synth_root, f"{synth_root}/list/all/train.txt",
+                     type="l", transform=tf, frame_delta=DELTA)
+    loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                        drop_last=True, infinite=True)
+
+    loss_fn = make_loss_fn("ohem", aux_weight=0.0, ohem_min_kept=200)
+    interp_step, plain_step = make_flow_train_step(model, loss_fn, num_classes=5)
+    interp_step = jax.jit(interp_step)
+    plain_step = jax.jit(plain_step)
+
+    key = jax.random.PRNGKey(1)
+    it = iter(loader)
+    losses = []
+    for i in range(4):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        step = plain_step if i == 1 else interp_step  # exercise both branches
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+
+    # eval step on a val batch
+    ds_val = FlowDataset("val", synth_root, f"{synth_root}/list/all/val.txt",
+                         type="l",
+                         transform=build_test_transform(resize=(96, 128), normalize=True),
+                         frame_delta=DELTA)
+    batch = {k: jnp.asarray(v) for k, v in
+             next(iter(DataLoader(ds_val, batch_size=1))).items()}
+    eval_step = jax.jit(make_flow_eval_step(model, num_classes=5))
+    m = eval_step(state, batch)
+    assert np.asarray(m["union"]).sum() > 0
+
+
+@pytest.mark.slow
+def test_flow_predict_runner(synth_root, model_and_state, tmp_path):
+    model, state = model_and_state
+    ds = FlowDataset("predict", synth_root, type="u",
+                     transform=build_test_transform(resize=(96, 128), normalize=True),
+                     frame_delta=DELTA, predict_v_id="synth")
+    loader = DataLoader(ds, batch_size=1, num_workers=1)
+
+    predict_fn = make_flow_predict_fn(model, n=DELTA, out_size=(96, 128))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    video_path = str(tmp_path / "video" / "synth.avi")
+    summary = run_predict(
+        predict_fn, variables, loader, num_classes=5,
+        colors=PALETTE, video_path=video_path,
+        save_images_dir=str(tmp_path / "frames"),
+    )
+    assert summary["frames"] == len(ds) * DELTA
+    assert 0.0 <= summary["predict_miou1_epoch"] <= 1.0
+    assert summary["frames_per_second"] > 0
+    import os
+    assert os.path.exists(video_path)
+    assert os.path.exists(tmp_path / "frames" / "0.png")
+
+
+def test_flow_sliding_window_test(synth_root, model_and_state):
+    from floodseg_tpu.train.evaluate import flow_sliding_window_test
+    from floodseg_tpu.train.flow import make_flow_test_crop_fn
+
+    model, state = model_and_state
+    ds = FlowDataset("test", synth_root, f"{synth_root}/list/all/test.txt",
+                     type="l",
+                     transform=build_test_transform(resize=(96, 128), normalize=True),
+                     frame_delta=DELTA)
+    batch = next(iter(DataLoader(ds, batch_size=1)))
+    crop_fn = make_flow_test_crop_fn(model, num_classes=5)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pred = flow_sliding_window_test(crop_fn, variables, batch, 5,
+                                    crop_h=65, crop_w=65)
+    assert pred.shape == (96, 128)
+    assert pred.min() >= 0 and pred.max() < 5
