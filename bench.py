@@ -1,0 +1,128 @@
+"""Benchmark: segmented frames/sec/chip at 512px (keyframe + interpolation).
+
+The reference's headline workload (SURVEY §3.4 / BASELINE.md): flow predict —
+encode two 512px key frames, warp features along block-MV grids to all
+frame_delta-1 intermediate positions, fuse, decode all frames in one batched
+call, upsample + argmax. The reference measures this as the
+"predict_interference" profiler region (flow/base.py:269-328) and reports up
+to 76.85 FPS on an RTX 5000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 76.85 (the reference's published FPS).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+FRAME_DELTA = 25
+SIZE = 513           # PSPNet wants 8k+1
+REFERENCE_FPS = 76.85
+CLIPS_TIMED = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: first-ever run pays ~5-8 min of XLA compile
+    # for the fused clip program; later runs start in seconds
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/floodseg_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from floodseg_tpu.data import FlowDataset, DataLoader, build_test_transform
+    from floodseg_tpu.data.synthetic import generate_synthetic_dataset
+    from floodseg_tpu.models import build_model
+    from floodseg_tpu.train.flow import make_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+
+    # hermetic 512px clip data with real MV->grid warps
+    root = os.path.join(tempfile.gettempdir(), "floodseg_bench_512")
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        log("generating synthetic 512px dataset...")
+        generate_synthetic_dataset(
+            root, num_frames=(CLIPS_TIMED + 2) * FRAME_DELTA + 1,
+            size=(512, 512), frame_delta=FRAME_DELTA, num_labeled=4,
+        )
+        open(marker, "w").close()
+
+    tf = build_test_transform(resize=(SIZE, SIZE), normalize=True)
+    ds = FlowDataset("predict", root, type="u", transform=tf,
+                     frame_delta=FRAME_DELTA, predict_v_id="synth")
+    loader = DataLoader(ds, batch_size=1, num_workers=8, prefetch=3)
+
+    model = build_model("pspnet", classes=5, layers=50, with_aux=False,
+                        dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    )()
+    variables = jax.device_put(variables)
+
+    bh, bw = 512 // 16, 512 // 16
+    predict_fn = make_flow_predict_fn(
+        model, n=FRAME_DELTA, feature_based=True,
+        out_size=(SIZE, SIZE), default_grid=default_grid(bh * 16, bw * 16),
+    )
+
+    batches = list(loader)
+    log(f"{len(batches)} clips of {FRAME_DELTA} frames")
+
+    def run(batch):
+        return predict_fn(
+            variables,
+            jnp.asarray(batch["frame_prev"]),
+            jnp.asarray(batch["frame_next"]),
+            jnp.asarray(batch["mvs_left"]),
+            jnp.asarray(batch["mvs_right"]),
+        )
+
+    def force(o):
+        # a scalar readback is the only reliable execution barrier over the
+        # tunneled runtime (device stream is in-order, so fetching the last
+        # output's sum proves every queued clip finished)
+        return int(jnp.sum(o))
+
+    t0 = time.perf_counter()
+    out = run(batches[0])
+    force(out)
+    log(f"compile+first clip: {time.perf_counter() - t0:.1f}s, out {out.shape} {out.dtype}")
+
+    # timed clips
+    timed = batches[1:1 + CLIPS_TIMED]
+    t0 = time.perf_counter()
+    for b in timed:
+        out = run(b)
+    force(out)
+    dt = time.perf_counter() - t0
+    frames = len(timed) * FRAME_DELTA
+    fps = frames / dt
+    log(f"{frames} frames in {dt:.3f}s -> {fps:.1f} frames/s")
+
+    print(json.dumps({
+        "metric": "segmented_frames_per_sec_per_chip_512px_keyframe_interp",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,3 +8,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize hook force-sets jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — undo it before any backend
+# initializes so tests really run on CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,78 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is single-node data parallelism: Lightning
+DDP/NCCL with SyncBatchNorm and sync_dist metric reduction (SURVEY §2.3,
+/root/reference/configs/train_base.yaml:24, base/cli.py:159). The TPU-native
+equivalent needs no NCCL and no gradient hooks:
+
+- one ``jax.sharding.Mesh`` over all chips (ICI; add a "dcn" outer axis for
+  multi-slice later);
+- the train step jitted with the BATCH sharded over the "data" axis and the
+  train state replicated — XLA inserts the grad all-reduce;
+- BatchNorm statistics are computed over the GLOBAL logical batch under this
+  sharding, which is exactly SyncBatchNorm;
+- metric counts (intersection/union/target) come back replicated (they are
+  reductions over the global batch), replacing sync_dist=True.
+
+Multi-host entry: call ``jax.distributed.initialize()`` before anything else
+(cli handles this), then the same code runs unchanged — ``jax.devices()``
+spans all hosts.
+"""
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(axes: Sequence[str] = ("data",),
+                shape: Optional[Sequence[int]] = None,
+                devices=None) -> Mesh:
+    """Mesh over all (or given) devices; defaults to 1-D data parallelism."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    return Mesh(devices.reshape(tuple(shape)), tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim; everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data",
+                time_major_keys=("mvs_left", "mvs_right")) -> dict:
+    """Device-put a numpy batch with the batch dim sharded over ``axis``.
+
+    Grid chains are time-major (T, B, ...) so their SECOND dim is the batch
+    dim; scalars/indices shard on their only dim.
+    """
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if k in time_major_keys:
+            spec = P(None, axis)
+        elif v.ndim == 0:
+            spec = P()
+        else:
+            spec = P(axis)
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def make_sharded_train_step(train_step: Callable, mesh: Mesh,
+                            axis: str = "data") -> Callable:
+    """jit ``train_step(state, batch, rng)`` with state replicated and the
+    batch sharded over ``axis`` (XLA adds the gradient all-reduce)."""
+    repl = replicated_sharding(mesh)
+
+    def constrained(state, batch, rng):
+        state = jax.lax.with_sharding_constraint(state, repl)
+        return train_step(state, batch, rng)
+
+    return jax.jit(constrained, donate_argnums=(0,))

@@ -201,12 +201,17 @@ class FlowInterpolator:
 
             dec = lambda x: x  # noqa: E731
 
-        f = enc(frame_prev)
+        if single:
+            f = enc(frame_prev)
+        else:
+            # both key frames in ONE batched encoder call (eval-mode BN is
+            # batch-invariant, so this is numerically identical to two calls)
+            f_both = enc(jnp.concatenate([frame_prev, frame_next], axis=0))
+            f, f_next = f_both[:1], f_both[1:]
         fh, fw = f.shape[1], f.shape[2]
 
         maps = []
         if not single:
-            f_next = enc(frame_next)
             if not self.no_warp:
                 fwd = self._predict_chains(f, mvs_left)        # (n-1, fh, fw, C)
                 bwd = self._predict_chains(f_next, mvs_right)  # (n-1, fh, fw, C)
