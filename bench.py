@@ -63,10 +63,23 @@ def main():
         )
         open(marker, "w").close()
 
-    tf = build_test_transform(resize=(SIZE, SIZE), normalize=True)
+    # frames travel to the device as raw resized pixels (float32 of uint8
+    # range); mean/std normalization is fused into the compiled program —
+    # the host->HBM link through the tunnel is the scarce resource
+    tf = build_test_transform(resize=(SIZE, SIZE), normalize=False)
     ds = FlowDataset("predict", root, type="u", transform=tf,
                      frame_delta=FRAME_DELTA, predict_v_id="synth")
-    loader = DataLoader(ds, batch_size=1, num_workers=8, prefetch=3)
+
+    def device_put(batch):
+        out = {}
+        for k, v in batch.items():
+            if k.startswith("frame"):
+                v = v.astype(np.uint8)  # 4x fewer bytes on the wire
+            out[k] = jax.device_put(v)
+        return out
+
+    loader = DataLoader(ds, batch_size=1, num_workers=8, prefetch=4,
+                        device_put=device_put)
 
     model = build_model("pspnet", classes=5, layers=50, with_aux=False,
                         dtype=jnp.bfloat16)
@@ -77,10 +90,19 @@ def main():
     variables = jax.device_put(variables)
 
     bh, bw = 512 // 16, 512 // 16
-    predict_fn = make_flow_predict_fn(
+    base_fn = make_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
         out_size=(SIZE, SIZE), default_grid=default_grid(bh * 16, bw * 16),
     )
+    from floodseg_tpu.data.transforms import MEAN, STD
+    mean = jnp.asarray(MEAN, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
+
+    @jax.jit
+    def predict_fn(variables, fp, fn_, ml, mr):
+        fp = (fp.astype(jnp.float32) - mean) / std
+        fn_ = (fn_.astype(jnp.float32) - mean) / std
+        return base_fn(variables, fp, fn_, ml, mr)  # inner jit inlines
 
     batches = list(loader)
     log(f"{len(batches)} clips of {FRAME_DELTA} frames")
@@ -88,10 +110,10 @@ def main():
     def run(batch):
         return predict_fn(
             variables,
-            jnp.asarray(batch["frame_prev"]),
-            jnp.asarray(batch["frame_next"]),
-            jnp.asarray(batch["mvs_left"]),
-            jnp.asarray(batch["mvs_right"]),
+            batch["frame_prev"],
+            batch["frame_next"],
+            batch["mvs_left"],
+            batch["mvs_right"],
         )
 
     def force(o):

@@ -1,0 +1,581 @@
+"""Experiment runner: fit / test / predict for every training method.
+
+The TPU-native equivalent of the reference's LightningCLI + LightningModule
+engines (base/cli.py, supervised.py, gan.py, contrastive.py,
+flow_supervised.py, flow_gan.py):
+
+- fit: epoch loop with per-step jitted train functions, val mIoU each epoch,
+  top-k checkpointing, EarlyStopping(val_miou_epoch, patience 10,
+  min_delta 1e-3) (cli.py:104);
+- after fit: test + predict on the best checkpoint, metrics.json
+  (cli.py:166-198);
+- test: multi-scale sliding-window (single-frame) / crop-grid sliding window
+  or whole-frame (flow) over the two held-out videos, reported as
+  test_miou{1,2}_epoch + averages (foundation.py:224-259);
+- predict: flow per-clip interpolation inference with temporal consistency
+  and video writing (flow/base.py:226-344).
+"""
+
+import os
+import time
+import uuid
+from typing import Callable, Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from floodseg_tpu.core.config import Config, round_train
+from floodseg_tpu.core.checkpoint import CheckpointManager
+from floodseg_tpu.core.logging import RunLogger
+from floodseg_tpu.data import (
+    SemDataset, FlowDataset, DataLoader,
+    build_train_transform, build_val_transform, build_test_transform,
+)
+from floodseg_tpu.data.transforms import Compose, IgnoreClasses, Resize, Crop, Normalize
+from floodseg_tpu.models import build_model, S4GANDiscriminator, FLOW_ARCHS
+from floodseg_tpu.ops.metrics import MetricMeter
+from floodseg_tpu.train.optim import make_optimizer, poly_schedule
+from floodseg_tpu.train.state import create_train_state
+from floodseg_tpu.train import supervised as sup
+from floodseg_tpu.train import gan as gan_mod
+from floodseg_tpu.train import flow as flow_mod
+from floodseg_tpu.train import contrastive as u2pl_mod
+from floodseg_tpu.train.evaluate import make_crop_forward, multi_scale_test, flow_sliding_window_test
+from floodseg_tpu.train.predict import run_predict
+from floodseg_tpu.video.grid import default_grid
+
+FLOW_METHODS = ("flow_supervised", "flow_gan")
+SEMI_METHODS = ("gan", "flow_gan", "contrastive")
+
+
+class _EvalState(NamedTuple):
+    """Minimal state-shaped pytree for eval-only step functions."""
+    params: dict
+    batch_stats: dict
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+
+def _jnp_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class Runner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.is_flow = cfg.method in FLOW_METHODS
+        if self.is_flow:
+            assert cfg.model.arch in FLOW_ARCHS, (
+                f"arch {cfg.model.arch!r} unsupported in the flow path "
+                f"(reference flow/base.py:94-103)"
+            )
+        self.rng = jax.random.PRNGKey(cfg.trainer.seed)
+        run_name = cfg.trainer.run_name or cfg.runid or uuid.uuid4().hex[:8]
+        self.logger = RunLogger(cfg.trainer.log_dir, run_name,
+                                wandb_project=cfg.wandb,
+                                tags=[cfg.tag] if cfg.tag else None)
+        self.ckpt = CheckpointManager(
+            os.path.join(self.logger.log_dir, "checkpoints"),
+            save_top_k=cfg.trainer.save_top_k,
+        )
+        self._build_model()
+
+    # ------------------------------------------------------------------
+    # model / state construction
+    # ------------------------------------------------------------------
+
+    def _build_model(self):
+        cfg = self.cfg
+        self.model = build_model(
+            cfg.model.arch, classes=cfg.model.classes, layers=cfg.model.layers,
+            image_size=cfg.model.test_w,
+            semisupervised=(cfg.method == "contrastive" and cfg.model.semisupervised),
+            with_aux=cfg.model.aux, dtype=_dtype(cfg),
+        )
+        self.sample_input = jnp.zeros(
+            (1, self.cfg.data.train_h, self.cfg.data.train_w, 3), jnp.float32
+        )
+        self.num_classes = cfg.model.classes
+
+    def _pretrained_variables(self):
+        cfg = self.cfg
+        if not cfg.model.pretrained or not cfg.model.pretrained_path:
+            return None
+        import torch
+        from floodseg_tpu.models.torch_import import convert_resnet_backbone
+        from floodseg_tpu.models.resnet import DEPTH_BLOCKS
+        sd = torch.load(cfg.model.pretrained_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        p, s = convert_resnet_backbone(
+            sd, DEPTH_BLOCKS[cfg.model.layers],
+            deep_base=(cfg.model.arch == "pspnet"),
+        )
+        return {"params": {"backbone": p}, "batch_stats": {"backbone": s}}
+
+    def _max_iter(self, steps_per_epoch: int) -> int:
+        return max(1, steps_per_epoch * self.cfg.trainer.max_epochs)
+
+    # ------------------------------------------------------------------
+    # transforms / loaders (BaseDataModule + FlowBaseDataModule parity)
+    # ------------------------------------------------------------------
+
+    def _list_path(self, name: str) -> str:
+        d = self.cfg.data
+        if d.data_variant:
+            return os.path.join(d.data_root, "list", d.data_variant, name)
+        return os.path.join(d.data_root, "list", name)
+
+    def _transforms(self) -> Dict[str, Compose]:
+        cfg = self.cfg
+        d = cfg.data
+        th, tw = d.train_h, d.train_w
+        if not self.is_flow:
+            resize = (d.resize_h, d.resize_w)
+            return {
+                "train": build_train_transform(th, tw, d.data_classes_ignore,
+                                               d.scale_min, d.scale_max, resize),
+                "val": build_val_transform(th, tw, d.data_classes_ignore, resize),
+                "test": build_test_transform(d.data_classes_ignore, resize,
+                                             normalize=False),
+            }
+        # FlowBaseDataModule sizing rules (flow/base.py:360-375)
+        scale_min, scale_max = d.scale_min, d.scale_max
+        if d.resize_factor != 1.0:
+            scale_min = 1.0
+        if d.no_cropping:
+            factor = 1.5
+            resize = (int(th * factor) + 1, int(tw * factor) + 1)
+            resize_val_test = (th, tw)
+            scale_min = 1.0 / factor + 0.001
+            scale_max = 1.0
+        else:
+            resize = (int(d.resize_h * d.resize_factor),
+                      int(d.resize_w * d.resize_factor))
+            resize_val_test = resize
+        test_resize = (int(resize_val_test[0] * d.resize_factor_test),
+                       int(resize[1] * d.resize_factor_test))
+        predict_resize = (int(resize_val_test[0] * d.resize_factor_predict),
+                          int(resize[1] * d.resize_factor_predict))
+        return {
+            "train": build_train_transform(
+                th, tw, d.data_classes_ignore, scale_min, scale_max, resize,
+                with_rotate=d.no_warp, crop_padding=None,
+            ),
+            "val": build_val_transform(th, tw, d.data_classes_ignore,
+                                       resize_val_test, crop=not d.no_cropping,
+                                       crop_padding=None),
+            "test": build_test_transform(d.data_classes_ignore, test_resize,
+                                         normalize=True),
+            "predict": build_test_transform(d.data_classes_ignore,
+                                            predict_resize, normalize=True),
+        }
+
+    def _dataset(self, split: str, list_name: str, type_: str = "l",
+                 transform=None):
+        d = self.cfg.data
+        if self.is_flow:
+            return FlowDataset(split, d.data_root,
+                               self._list_path(list_name) if split != "predict" else None,
+                               type=type_, transform=transform,
+                               frame_delta=d.frame_delta, no_warp=d.no_warp,
+                               predict_v_id=d.predict_v_id,
+                               no_random_frame_delta=d.no_random_frame_delta)
+        sem_split = {"l": split, "u": "test", "gt": split}[type_]
+        return SemDataset(sem_split, d.data_root, self._list_path(list_name),
+                          transform)
+
+    def _loader(self, ds, batch_size, shuffle=False, infinite=False, drop_last=False):
+        d = self.cfg.data
+        return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
+                          num_workers=d.workers, seed=self.cfg.trainer.seed,
+                          infinite=infinite, drop_last=drop_last)
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+
+    def fit(self):
+        cfg = self.cfg
+        tf = self._transforms()
+        train_l = self._dataset("train", "train.txt", "l", tf["train"])
+        loaders = {"l": self._loader(train_l, cfg.data.batch_size, shuffle=True,
+                                     infinite=True, drop_last=True)}
+        steps_per_epoch = max(1, len(train_l) // cfg.data.batch_size)
+        if cfg.method in ("gan", "flow_gan"):
+            train_u = self._dataset("train", "train_u.txt", "u", tf["train"])
+            train_gt = self._dataset("train", "train.txt", "gt", tf["train"])
+            loaders["u"] = self._loader(train_u, cfg.data.batch_size,
+                                        shuffle=True, infinite=True, drop_last=True)
+            loaders["gt"] = self._loader(train_gt, cfg.data.batch_size,
+                                         shuffle=True, infinite=True, drop_last=True)
+            # max_size_cycle (configs/train_base.yaml:38)
+            steps_per_epoch = max(steps_per_epoch,
+                                  len(train_u) // cfg.data.batch_size)
+        elif cfg.method == "contrastive":
+            train_u = self._dataset("train", "train_u.txt", "u", tf["train"])
+            loaders["u"] = self._loader(train_u, cfg.data.batch_size,
+                                        shuffle=True, infinite=True, drop_last=True)
+            steps_per_epoch = max(steps_per_epoch,
+                                  len(train_u) // cfg.data.batch_size)
+        if cfg.trainer.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, cfg.trainer.limit_train_batches)
+
+        val_ds = self._dataset("val", "val.txt", "l", tf["val"])
+        val_loader = self._loader(val_ds, cfg.data.batch_size_val)
+
+        max_iter = self._max_iter(steps_per_epoch)
+        state, train_fn, eval_fn = self._build_states_and_steps(max_iter)
+
+        start_epoch = 0
+        if cfg.trainer.resume and self.ckpt.last_path is not None:
+            # crash recovery / resume-by-runid (base/cli.py:114-118)
+            state = self.ckpt.restore(state, self.ckpt.last_path)
+            start_epoch = max((e["epoch"] for e in self.ckpt._index),
+                              default=-1) + 1
+            print(f"resumed from {self.ckpt.last_path} at epoch {start_epoch}",
+                  flush=True)
+
+        best_metric, best_epoch = -np.inf, -1
+        global_step = start_epoch * steps_per_epoch
+        iters = {k: iter(v) for k, v in loaders.items()}
+        for epoch in range(start_epoch, cfg.trainer.max_epochs):
+            t0 = time.time()
+            train_meter = MetricMeter(self.num_classes)
+            loss_sum, loss_n = 0.0, 0
+            for _ in range(steps_per_epoch):
+                batch = {k: _jnp_batch(next(it)) for k, it in iters.items()}
+                if len(batch) == 1:
+                    batch = batch["l"]
+                step_rng = jax.random.fold_in(self.rng, global_step)
+                state, metrics = train_fn(state, batch, step_rng, epoch)
+                loss_sum += float(metrics["loss"])
+                loss_n += 1
+                train_meter.update(metrics["intersection"], metrics["union"],
+                                   metrics["target"])
+                global_step += 1
+            train_summary = train_meter.summary()
+            self.logger.log({"train_loss_epoch": loss_sum / max(loss_n, 1),
+                             "train_miou_epoch": train_summary["miou"],
+                             "epoch_time": time.time() - t0,
+                             "epoch": epoch}, global_step)
+
+            # validation (flow: whole-frame interp; single-frame: center crop)
+            val_meter = MetricMeter(self.num_classes)
+            for bi, batch in enumerate(val_loader):
+                if cfg.trainer.limit_val_batches and bi >= cfg.trainer.limit_val_batches:
+                    break
+                m = eval_fn(state, _jnp_batch(batch), epoch)
+                val_meter.update(m["intersection"], m["union"], m["target"])
+            vs = val_meter.summary()
+            val_miou = vs["miou"]
+            self.logger.log({"val_miou_epoch": val_miou,
+                             "val_macc_epoch": vs["macc"],
+                             "val_accuracy_epoch": vs["allacc"]}, global_step)
+            print(f"epoch {epoch}: loss {loss_sum / max(loss_n, 1):.4f} "
+                  f"val_miou {val_miou:.4f}", flush=True)
+
+            self.ckpt.save(self._ckpt_payload(state), epoch,
+                           {"val_miou_epoch": val_miou})
+
+            # EarlyStopping(patience, min_delta) on val_miou_epoch (cli.py:104)
+            if val_miou > best_metric + cfg.trainer.early_stopping_min_delta:
+                best_metric, best_epoch = val_miou, epoch
+            elif epoch - best_epoch >= cfg.trainer.early_stopping_patience:
+                print(f"early stopping at epoch {epoch} "
+                      f"(best {best_metric:.4f} @ {best_epoch})", flush=True)
+                break
+
+        self.logger.update_summary({"best_val_miou": best_metric,
+                                    "best_epoch": best_epoch})
+        self._state = state
+        return state
+
+    def _ckpt_payload(self, state):
+        """Checkpoint the arrays only (optimizer tx is static)."""
+        if isinstance(state, tuple) and hasattr(state, "_fields"):  # NamedTuple
+            return jax.tree.map(lambda x: x, state)
+        return state
+
+    # ------------------------------------------------------------------
+    # per-method states and step functions
+    # ------------------------------------------------------------------
+
+    def _build_states_and_steps(self, max_iter: int):
+        cfg = self.cfg
+        m = cfg.model
+        pre = self._pretrained_variables()
+        tx = make_optimizer(m.optim.lr, max_iter,
+                            optimizer=m.optim.optim.lower(),
+                            momentum=m.optim.momentum,
+                            weight_decay=m.optim.weight_decay,
+                            power=m.power)
+        sched = poly_schedule(m.optim.lr, max_iter, m.power)
+
+        if cfg.method == "supervised":
+            state = create_train_state(self.model, self.rng, self.sample_input,
+                                       tx, pretrained_variables=pre)
+            loss_fn = sup.make_loss_fn(m.loss.loss, m.aux_weight if m.aux else 0.0,
+                                       m.ignore_index, m.loss.thresh, m.loss.min_kept)
+            step = jax.jit(sup.make_train_step(self.model, loss_fn,
+                                               self.num_classes, m.ignore_index,
+                                               sched))
+            ev = jax.jit(sup.make_eval_step(self.model, self.num_classes,
+                                            m.ignore_index))
+            return state, (lambda s, b, r, e: step(s, b, r)), \
+                (lambda s, b, e: ev(s, b))
+
+        if cfg.method == "flow_supervised":
+            state = create_train_state(self.model, self.rng, self.sample_input,
+                                       tx, pretrained_variables=pre)
+            loss_fn = sup.make_loss_fn(m.loss.loss, 0.0, m.ignore_index,
+                                       m.loss.thresh, m.loss.min_kept)
+            interp_step, plain_step = flow_mod.make_flow_train_step(
+                self.model, loss_fn, self.num_classes, m.ignore_index,
+                m.feature_based, m.no_warp)
+            interp_step = jax.jit(interp_step)
+            plain_step = jax.jit(plain_step)
+            coin = np.random.default_rng(cfg.trainer.seed)
+
+            def train_fn(s, b, r, e):
+                # host-side no_interpolation coin (flow/model.py:37)
+                if m.no_interpolation_percentage > 0 and \
+                        coin.random() < m.no_interpolation_percentage:
+                    return plain_step(s, b, r)
+                return interp_step(s, b, r)
+
+            ev = jax.jit(flow_mod.make_flow_eval_step(
+                self.model, self.num_classes, m.ignore_index,
+                m.feature_based, m.no_warp))
+            return state, train_fn, (lambda s, b, e: ev(s, b))
+
+        if cfg.method in ("gan", "flow_gan"):
+            self.model_d = S4GANDiscriminator(num_classes=self.num_classes,
+                                              dtype=_dtype(cfg))
+            tx_d = make_optimizer(m.optim.lr_D, max_iter, optimizer="adam",
+                                  betas=(0.9, 0.99), weight_decay=0.0,
+                                  head_lr_scale=1.0, power=m.power)
+            state_g = create_train_state(self.model, self.rng, self.sample_input,
+                                         tx, pretrained_variables=pre)
+            state_d = create_train_state(
+                self.model_d, self.rng,
+                jnp.zeros((1, self.cfg.data.train_h, self.cfg.data.train_w,
+                           self.num_classes + 3), jnp.float32), tx_d)
+            g_fwd = (gan_mod.flow_g_forward(self.model, m.feature_based, m.no_warp)
+                     if cfg.method == "flow_gan"
+                     else gan_mod.single_frame_g_forward(self.model))
+            step = jax.jit(gan_mod.make_gan_train_step(
+                g_fwd, self.model_d, self.num_classes, m.ignore_index,
+                m.threshold_st, m.lambda_fm, m.lambda_st,
+                gt_norm_by_labeled_max=(cfg.method == "gan")))
+
+            class GanState(tuple):
+                pass
+
+            def train_fn(s, b, r, e):
+                sg, sd, metrics = step(s[0], s[1], b, r)
+                return (sg, sd), metrics
+
+            if cfg.method == "flow_gan":
+                ev0 = jax.jit(flow_mod.make_flow_eval_step(
+                    self.model, self.num_classes, m.ignore_index,
+                    m.feature_based, m.no_warp))
+            else:
+                ev0 = jax.jit(sup.make_eval_step(self.model, self.num_classes,
+                                                 m.ignore_index))
+
+            return (state_g, state_d), train_fn, (lambda s, b, e: ev0(s[0], b))
+
+        if cfg.method == "contrastive":
+            ccfg = u2pl_mod.ContrastiveConfig(
+                enabled=m.contrastive.enabled,
+                negative_high_entropy=m.contrastive.negative_high_entropy,
+                low_rank=m.contrastive.low_rank,
+                high_rank=m.contrastive.high_rank,
+                current_class_threshold=m.contrastive.current_class_threshold,
+                current_class_negative_threshold=m.contrastive.current_class_negative_threshold,
+                low_entropy_threshold=m.contrastive.low_entropy_threshold,
+                num_negatives=m.contrastive.num_negatives,
+                num_queries=m.contrastive.num_queries,
+                temperature=m.contrastive.temperature,
+                loss_weight=m.contrastive.loss_weight,
+                max_enqueue=m.contrastive.max_enqueue,
+                num_devices=len(jax.devices()),
+            )
+            state = u2pl_mod.create_u2pl_state(
+                self.model, self.rng, self.sample_input, tx,
+                bank_capacity=m.contrastive.bank_capacity,
+                bank_class0_capacity=m.contrastive.bank_class0_capacity,
+                num_classes=self.num_classes)
+            if pre is not None:
+                merged = create_train_state(self.model, self.rng,
+                                            self.sample_input, tx,
+                                            pretrained_variables=pre)
+                state = state._replace(student=merged)
+            sup_step, semi_step = u2pl_mod.make_u2pl_steps(
+                self.model, self.num_classes, ccfg, m.ignore_index,
+                m.aux_weight if m.aux else 0.0, m.loss.thresh, m.loss.min_kept,
+                m.unsupervised_apply_aug, m.unsupervised_drop_percent,
+                m.unsupervised_loss_weight, m.ema_decay)
+            sup_step = jax.jit(sup_step)
+            semi_step = jax.jit(semi_step)
+            boundary = {"synced": False}
+            max_epochs = cfg.trainer.max_epochs
+            sup_only = m.sup_only_epoch
+            steps_per_epoch = max(1, max_iter // max(max_epochs, 1))
+
+            def train_fn(s, b, r, e):
+                if e < sup_only:
+                    return sup_step(s, b, r)
+                if not boundary["synced"]:
+                    s = u2pl_mod.sync_teacher(s)
+                    boundary["synced"] = True
+                rel = int(s.student.step) - steps_per_epoch * sup_only
+                return semi_step(s, b, r, jnp.float32(e / max_epochs),
+                                 jnp.int32(max(rel, 0)))
+
+            def eval_fn(s, b, e):
+                # serve the teacher after warmup (contrastive.py:176-180)
+                variables = (
+                    {"params": s.teacher_params, "batch_stats": s.teacher_batch_stats}
+                    if e >= sup_only else
+                    {"params": s.student.params, "batch_stats": s.student.batch_stats}
+                )
+                out = self.model.apply(variables, b["frame_current"], train=False)
+                from floodseg_tpu.ops.metrics import intersection_and_union
+                pred = jnp.argmax(out["pred"], axis=-1)
+                i, u, t = intersection_and_union(pred, b["label"],
+                                                 self.num_classes, m.ignore_index)
+                return {"intersection": i, "union": u, "target": t}
+
+            return state, train_fn, eval_fn
+
+        raise ValueError(f"unknown method {cfg.method!r}")
+
+    # ------------------------------------------------------------------
+    # evaluation state helpers
+    # ------------------------------------------------------------------
+
+    def load_for_eval(self, ckpt_path: Optional[str] = None):
+        """Build a fresh state structure and restore a checkpoint into it
+        (reference: test.sh/predict.sh load logs/<run>/last.ckpt)."""
+        state, _, _ = self._build_states_and_steps(max_iter=1)
+        path = ckpt_path or self.ckpt.last_path or self.ckpt.best_path
+        if path is None:
+            print("[runner] no checkpoint found — evaluating fresh init")
+            self._state = state
+            return state
+        state = self.ckpt.restore(state, path)
+        self._state = state
+        return state
+
+    def _eval_variables(self, state):
+        if self.cfg.method in ("gan", "flow_gan"):
+            st = state[0]
+            return {"params": st.params, "batch_stats": st.batch_stats}
+        if self.cfg.method == "contrastive":
+            return {"params": state.teacher_params,
+                    "batch_stats": state.teacher_batch_stats}
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ------------------------------------------------------------------
+    # test / predict
+    # ------------------------------------------------------------------
+
+    def test(self, state=None) -> Dict:
+        cfg = self.cfg
+        state = state if state is not None else self._state
+        variables = self._eval_variables(state)
+        tf = self._transforms()
+        results = {}
+        meters = {}
+        for idx, list_name in enumerate(["test.txt", "test2.txt"]):
+            path = self._list_path(list_name)
+            if not os.path.exists(path):
+                continue
+            ds = self._dataset("test", list_name, "l", tf["test"])
+            # reference test datasets use labeled split semantics
+            if not self.is_flow:
+                ds = SemDataset("val", cfg.data.data_root, path, tf["test"])
+            loader = self._loader(ds, 1)
+            meter = MetricMeter(self.num_classes)
+            if self.is_flow:
+                crop_fn = flow_mod.make_flow_test_crop_fn(
+                    self.model, self.num_classes, cfg.model.feature_based,
+                    cfg.model.no_warp)
+                eval_whole = jax.jit(flow_mod.make_flow_eval_step(
+                    self.model, self.num_classes, cfg.model.ignore_index,
+                    cfg.model.feature_based, cfg.model.no_warp))
+            else:
+                crop_forward = make_crop_forward(self.model, self.num_classes)
+            for bi, batch in enumerate(loader):
+                if cfg.trainer.limit_test_batches and bi >= cfg.trainer.limit_test_batches:
+                    break
+                if self.is_flow:
+                    if cfg.model.no_cropping:
+                        m = eval_whole(_EvalState(variables["params"],
+                                                  variables["batch_stats"]),
+                                       _jnp_batch(batch))
+                        meter.update(m["intersection"], m["union"], m["target"])
+                        continue
+                    pred = flow_sliding_window_test(
+                        crop_fn, variables, batch, self.num_classes,
+                        cfg.model.test_h, cfg.model.test_w)
+                    label = np.asarray(batch["label"])[0]
+                else:
+                    image = np.asarray(batch["frame_current"])[0]
+                    label = np.asarray(batch["label"])[0]
+                    pred = multi_scale_test(
+                        crop_forward, variables, image, self.num_classes,
+                        cfg.model.test_h, cfg.model.test_w,
+                        scales=cfg.model.test_scales,
+                        base_size=cfg.model.test_base_size)
+                from floodseg_tpu.ops.metrics import intersection_and_union
+                i, u, t = intersection_and_union(
+                    jnp.asarray(pred), jnp.asarray(label), self.num_classes,
+                    cfg.model.ignore_index)
+                meter.update(i, u, t)
+            meters[idx] = meter
+            s = meter.summary()
+            results[f"test_miou{idx + 1}_epoch"] = s["miou"]
+            results[f"test_macc{idx + 1}_epoch"] = s["macc"]
+            results[f"test_accuracy{idx + 1}_epoch"] = s["allacc"]
+            results[f"test_miou{idx + 1}_epoch_classes"] = s["iou_class"]
+        if "test_miou2_epoch" in results:
+            results["test_miou_epoch"] = (results["test_miou1_epoch"]
+                                          + results["test_miou2_epoch"]) / 2
+        self.logger.update_summary(results)
+        return results
+
+    def predict(self, state=None) -> Dict:
+        cfg = self.cfg
+        if not self.is_flow:
+            return {}
+        state = state if state is not None else self._state
+        variables = self._eval_variables(state)
+        tf = self._transforms()
+        ds = self._dataset("predict", "test.txt", "u", tf["predict"])
+        loader = self._loader(ds, 1)
+        colors_path = os.path.join(cfg.data.data_root, "list", "colors.txt")
+        colors = np.loadtxt(colors_path).astype("uint8") if os.path.exists(colors_path) else None
+        grid_shape = ds.default_grid.shape
+        predict_fn = flow_mod.make_flow_predict_fn(
+            self.model, n=cfg.data.frame_delta,
+            feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
+            out_size=(cfg.data.resize_h, cfg.data.resize_w),
+            default_grid=ds.default_grid)
+        summary = run_predict(
+            predict_fn, variables, loader, self.num_classes, colors=colors,
+            save_images_dir=os.path.join(self.logger.log_dir, "frames",
+                                         cfg.data.predict_v_id)
+            if cfg.model.save_images else None,
+            video_path=os.path.join(self.logger.log_dir, "video",
+                                    f"{cfg.data.predict_v_id}.avi")
+            if cfg.model.save_video else None,
+            compute_metrics=cfg.model.compute_metrics,
+        )
+        self.logger.update_summary(summary)
+        return summary

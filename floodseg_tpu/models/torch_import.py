@@ -132,3 +132,72 @@ def convert_pspnet_state_dict(sd: Mapping, layers: int = 50) -> dict:
     if "rep.0.weight" in sd:
         params["rep"], stats["rep"] = _seg_head(sd, "rep.0", "rep.1", "rep.4")
     return {"params": params, "batch_stats": stats}
+
+
+def _ln(sd, key):
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _block(sd, prefix):
+    """timm/reference transformer Block -> my Block params
+    (segm/model/blocks.py naming: norm1, attn.qkv/proj, norm2, mlp.fc1/fc2)."""
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+            "proj": _linear(sd, f"{prefix}.attn.proj"),
+        },
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def convert_vit_encoder(sd: Mapping, n_layers: int = 12, prefix: str = "") -> dict:
+    """timm/reference VisionTransformer state_dict -> my VisionTransformer
+    params (segm/model/vit.py naming; reference loads timm checkpoints with
+    pos-embed resize, segm/model/utils.py:22-63).
+
+    The strided patch conv becomes the patchify matmul: OIHW (D, C, P, P) ->
+    (P*P*C, D) with (py, px, c) feature order matching models.vit.patchify.
+    """
+    w = _np(sd[f"{prefix}patch_embed.proj.weight"])  # (D, C, P, P)
+    d = w.shape[0]
+    patch_kernel = w.transpose(2, 3, 1, 0).reshape(-1, d)
+    params = {
+        "patch_proj": {"kernel": patch_kernel,
+                       "bias": _np(sd[f"{prefix}patch_embed.proj.bias"])},
+        "cls_token": _np(sd[f"{prefix}cls_token"]),
+        "pos_embed": _np(sd[f"{prefix}pos_embed"]),
+        "norm": _ln(sd, f"{prefix}norm"),
+    }
+    for i in range(n_layers):
+        params[f"block{i}"] = _block(sd, f"{prefix}blocks.{i}")
+    return params
+
+
+def convert_mask_transformer(sd: Mapping, n_layers: int = 2, prefix: str = "") -> dict:
+    """Reference MaskTransformer state_dict -> my MaskTransformer params
+    (segm/model/decoder.py:37-102 naming)."""
+    params = {
+        "proj_dec": _linear(sd, f"{prefix}proj_dec"),
+        "cls_emb": _np(sd[f"{prefix}cls_emb"]),
+        "proj_patch": _np(sd[f"{prefix}proj_patch"]),
+        "proj_classes": _np(sd[f"{prefix}proj_classes"]),
+        "decoder_norm": _ln(sd, f"{prefix}decoder_norm"),
+        "mask_norm": _ln(sd, f"{prefix}mask_norm"),
+    }
+    for i in range(n_layers):
+        params[f"block{i}"] = _block(sd, f"{prefix}blocks.{i}")
+    return params
+
+
+def convert_segmenter_state_dict(sd: Mapping, n_layers: int = 12,
+                                 dec_layers: int = 2) -> dict:
+    """Full reference Segmenter (model/vit.py VITSegmentModel) -> variables."""
+    return {"params": {
+        "encoder": convert_vit_encoder(sd, n_layers, "model.encoder."),
+        "decoder": convert_mask_transformer(sd, dec_layers, "model.decoder."),
+    }}

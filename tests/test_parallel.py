@@ -1,0 +1,74 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sharded train step,
+SyncBN-equivalence, metric reduction."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from floodseg_tpu.parallel import (
+    create_mesh, shard_batch, make_sharded_train_step, replicated_sharding,
+)
+from floodseg_tpu.train.optim import make_optimizer
+from floodseg_tpu.train.state import create_train_state
+from floodseg_tpu.train.supervised import make_loss_fn, make_train_step
+
+
+def _tiny_setup(n_dev):
+    from floodseg_tpu.models import build_model
+    model = build_model("pspnet", classes=5, layers=50)
+    tx = make_optimizer(base_lr=0.001, max_iter=10)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((n_dev, 33, 33, 3)), tx=tx)
+    loss_fn = make_loss_fn("ohem", aux_weight=0.4, ohem_min_kept=100)
+    step = make_train_step(model, loss_fn, num_classes=5)
+    return model, state, step
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device():
+    """The DP-sharded step must produce the same loss/update as one device
+    on the same global batch (SyncBN + grad allreduce are implicit)."""
+    n = 8
+    devices = jax.devices()
+    assert len(devices) >= n, "conftest should expose 8 virtual CPU devices"
+    mesh = create_mesh(("data",), devices=devices[:n])
+    model, state, step = _tiny_setup(n)
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "frame_current": rng.standard_normal((n, 33, 33, 3)).astype(np.float32),
+        "label": rng.integers(0, 5, size=(n, 33, 33)).astype(np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    # single-device reference
+    step1 = jax.jit(step)
+    s1, m1 = step1(state, {k: jnp.asarray(v) for k, v in batch_np.items()}, key)
+
+    # sharded
+    sharded = make_sharded_train_step(step, mesh)
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    batch = shard_batch(batch_np, mesh)
+    s8, m8 = sharded(state_r, batch, key)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    np.testing.assert_array_equal(np.asarray(m1["intersection"]),
+                                  np.asarray(m8["intersection"]))
+    # parameters after the step agree
+    p1 = jax.tree.leaves(s1.params)[0]
+    p8 = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_shard_batch_layouts():
+    mesh = create_mesh(("data",), devices=jax.devices()[:4])
+    batch = shard_batch(
+        {"frame_prev": np.zeros((4, 8, 8, 3), np.float32),
+         "mvs_left": np.zeros((3, 4, 2, 2, 2), np.float32),
+         "left_index": np.zeros((4,), np.int32)},
+        mesh,
+    )
+    assert batch["frame_prev"].sharding.spec == jax.sharding.PartitionSpec("data")
+    assert batch["mvs_left"].sharding.spec == jax.sharding.PartitionSpec(None, "data")
