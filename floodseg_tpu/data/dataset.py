@@ -258,3 +258,30 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
         else:
             out[k] = np.stack(vals).astype(np.float32)
     return out
+
+
+class ConcatDataset:
+    """Concatenation that also reports which sub-dataset an item came from
+    (reference BetterConcatDataset, base/foundation.py:349-364 — used to
+    route test items to the per-video metric meters)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.cumulative = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cumulative.append(total)
+
+    def __len__(self):
+        return self.cumulative[-1] if self.cumulative else 0
+
+    def get(self, index: int, rng) -> Dict:
+        if index < 0:
+            index += len(self)
+        import bisect
+        di = bisect.bisect_right(self.cumulative, index)
+        si = index - (self.cumulative[di - 1] if di > 0 else 0)
+        sample = self.datasets[di].get(si, rng)
+        sample["dataset_idx"] = di
+        return sample

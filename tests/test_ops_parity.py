@@ -164,3 +164,17 @@ def test_intersection_and_union_matches_numpy_reference():
     np.testing.assert_array_equal(inter, ref_inter)
     np.testing.assert_array_equal(union, ref_out + ref_tgt - ref_inter)
     np.testing.assert_array_equal(area_t, ref_tgt)
+
+
+@pytest.mark.parametrize("align", [True, False])
+def test_grid_sample_matmul_matches_torch(align):
+    from floodseg_tpu.ops.grid_sample import grid_sample_matmul
+    x = _rng().standard_normal((2, 14, 18, 6)).astype(np.float32)
+    grid = (_rng().uniform(-1.3, 1.3, size=(2, 9, 11, 2))).astype(np.float32)
+    ours = np.asarray(grid_sample_matmul(jnp.asarray(x), jnp.asarray(grid),
+                                         align_corners=align))
+    ref = to_nhwc(
+        F.grid_sample(nchw(x), torch.from_numpy(grid), mode="bilinear",
+                      padding_mode="border", align_corners=align)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
