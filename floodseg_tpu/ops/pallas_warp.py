@@ -107,3 +107,75 @@ def grid_sample_pallas(x, grid, align_corners: bool = False,
         interpret=interpret,
     )(idx, wgt, x_flat)
     return out.reshape(b, gh, gw, c)
+
+
+def _chain_kernel(idx_ref, w_ref, y0_ref, out_ref, state):
+    """One (step t, C-tile c) grid cell of the fused warp chain.
+
+    TPU Pallas grids execute sequentially, so the VMEM ``state`` scratch
+    carries the chain across the inner t dimension: state <- W_t @ state.
+    W_t is the (P, P) one-hot interpolation matrix built on the VPU from the
+    step's 4 tap indices/weights; the contraction runs on the MXU.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        state[:] = y0_ref[0]
+
+    p = state.shape[0]
+    q = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    acc = jnp.zeros((p, p), jnp.float32)
+    for k in range(4):
+        onehot = (q == idx_ref[0, :, k][:, None]).astype(jnp.float32)
+        acc = acc + onehot * w_ref[0, :, k][:, None]
+    new = jnp.dot(acc.astype(state.dtype), state[:],
+                  preferred_element_type=jnp.float32).astype(state.dtype)
+    state[:] = new
+    out_ref[0] = new
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_chain_pallas(y0, grids, interpret: bool = False):
+    """Fused warp chain: apply ``grids`` sequentially to ``y0`` and return
+    every intermediate.
+
+    y0: (1, gh, gw, C) — the first warped map (already at grid resolution);
+    grids: (T, 1, gh, gw, 2) remaining per-frame grids. Returns
+    (T + 1, gh, gw, C) = [y0, warp(y0, g0), warp(warp(y0, g0), g1), ...].
+
+    Replaces T separate grid_sample dispatches (latency-bound at ~0.6 ms
+    each on v5e through XLA) with ONE kernel whose carry never leaves VMEM.
+    """
+    b, gh, gw, c = y0.shape
+    assert b == 1
+    t = grids.shape[0]
+    p = gh * gw
+    if t == 0:
+        return y0.reshape(1, gh, gw, c)
+
+    # treat T as the batch dim of _taps; source spatial dims come from y0
+    idx, wgt = _taps((t, gh, gw, c), grids[:, 0], align_corners=False)
+    idx = idx.astype(jnp.int32)          # (T, P, 4)
+    wgt = wgt.astype(jnp.float32)        # (T, P, 4)
+
+    c_tile = min(512, c) if c % min(512, c) == 0 else c
+    out = pl.pallas_call(
+        _chain_kernel,
+        out_shape=jax.ShapeDtypeStruct((t, p, c), y0.dtype),
+        grid=(c // c_tile, t),
+        in_specs=[
+            pl.BlockSpec((1, p, 4), lambda ci, ti: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 4), lambda ci, ti: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c_tile), lambda ci, ti: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, c_tile), lambda ci, ti: (ti, 0, ci),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((p, c_tile), y0.dtype)],
+        interpret=interpret,
+    )(idx, wgt, y0.reshape(1, p, c))
+    chain = jnp.concatenate([y0.reshape(1, p, c), out], axis=0)
+    return chain.reshape(t + 1, gh, gw, c)

@@ -206,3 +206,103 @@ def make_flow_test_crop_fn(model, num_classes: int, feature_based: bool = True,
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :num_classes]
 
     return crop_fn
+
+
+def make_flow_phase_fns(model, n: int, feature_based: bool = True,
+                        out_size: Tuple[int, int] = (1072, 1920),
+                        default_grid: Optional[np.ndarray] = None):
+    """Per-phase jitted functions for profiling parity with the reference's
+    predict_encoder / predict_warp / predict_fusion / predict_decoder regions
+    (flow/model.py:119-179). The production path fuses all phases into one
+    program (make_flow_predict_fn); these exist to report the same breakdown
+    the paper's tables use."""
+    from floodseg_tpu.ops.grid_sample import grid_sample
+    from floodseg_tpu.video.flow_model import warp
+    dg = None if default_grid is None else jnp.asarray(default_grid)
+
+    @jax.jit
+    def encode(variables, frames):
+        return model.apply(variables, frames, train=False, method="encode")[0]
+
+    @jax.jit
+    def warp_chain(f, grids):
+        y0 = warp(f, grids[0])
+        def step(c, g):
+            nx = warp(c, g)
+            return nx, nx
+        _, rest = jax.lax.scan(step, y0, grids[1:])
+        chain = jnp.concatenate([y0[None], rest], axis=0)[:, 0]
+        if chain.shape[1] != f.shape[1] or chain.shape[2] != f.shape[2]:
+            chain = resize_bilinear(chain, f.shape[1:3], align_corners=True)
+        return chain
+
+    @jax.jit
+    def fuse(f, f_next, fwd, bwd):
+        fk = f
+        if feature_based and dg is not None:
+            fk = grid_sample(f, dg[None], align_corners=True)
+            if fk.shape[1] != f.shape[1] or fk.shape[2] != f.shape[2]:
+                fk = resize_bilinear(fk, f.shape[1:3], align_corners=True)
+        p = jnp.arange(1, n, dtype=jnp.float32)[:, None, None, None]
+        wf = ((n - p) / n).astype(f.dtype)
+        wb = (p / n).astype(f.dtype)
+        inter = wf * fwd + wb * bwd[::-1]
+        return jnp.concatenate([fk[0][None], inter], axis=0)
+
+    @jax.jit
+    def decode(variables, maps):
+        out = model.apply(variables, maps, train=False, method="decode")
+        if out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
+            out = resize_bilinear(out, out_size, align_corners=True)
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+    return {"encode": encode, "warp_chain": warp_chain, "fuse": fuse,
+            "decode": decode}
+
+
+def profile_predict_phases(model, variables, batch, n: int,
+                           feature_based: bool = True,
+                           out_size: Tuple[int, int] = (1072, 1920),
+                           default_grid: Optional[np.ndarray] = None,
+                           repeats: int = 5):
+    """Run one clip phase-by-phase and return per-phase mean seconds
+    (named like the reference's profiler regions)."""
+    import time as _time
+    fns = make_flow_phase_fns(model, n, feature_based, out_size, default_grid)
+    fp = jnp.asarray(batch["frame_prev"])
+    fnx = jnp.asarray(batch["frame_next"])
+    ml = jnp.asarray(batch["mvs_left"])
+    mr = jnp.asarray(batch["mvs_right"])
+
+    def force(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    # warm up every phase AND its readback reduction (the timing barrier is
+    # a scalar sum fetch; its first call compiles)
+    f = fns["encode"](variables, fp)
+    force(f)
+    f2 = fns["encode"](variables, fnx)
+    fwd = fns["warp_chain"](f, ml)
+    force(fwd)
+    bwd = fns["warp_chain"](f2, mr)
+    maps = fns["fuse"](f, f2, fwd, bwd)
+    force(maps)
+    force(fns["decode"](variables, maps))
+
+    times = {}
+
+    def timed(name, fn):
+        t0 = _time.perf_counter()
+        for _ in range(repeats):
+            out = fn()
+        force(out)
+        times[name] = (_time.perf_counter() - t0) / repeats
+        return out
+
+    f = timed("predict_encoder", lambda: fns["encode"](variables, fp))
+    f2 = fns["encode"](variables, fnx)
+    fwd = timed("predict_warp", lambda: fns["warp_chain"](f, ml))
+    bwd = fns["warp_chain"](f2, mr)
+    maps = timed("predict_fusion", lambda: fns["fuse"](f, f2, fwd, bwd))
+    timed("predict_decoder", lambda: fns["decode"](variables, maps))
+    return times

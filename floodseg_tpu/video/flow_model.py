@@ -140,14 +140,14 @@ class FlowInterpolator:
 
     # ---------------- inference (the throughput path) ----------------
 
-    def _predict_chains(self, f, grids):
-        """All T intermediate warps of ``f`` (resized to f's resolution).
+    def _predict_chains_batched(self, f, grids, resize=True):
+        """All T intermediate warps of a BATCH of maps.
 
-        f: (1, H, W, C); grids: (T, 1, gh, gw, 2). Returns (T, H, W, C).
-        The chain runs at grid resolution; only stored outputs are resized
-        (flow/model.py:131-151).
+        f: (B, H, W, C); grids: (T, B, gh, gw, 2). Returns (T, B, H, W, C)
+        resized back to (H, W) when ``resize`` (else at grid resolution).
+        The chain always runs at grid resolution (flow/model.py:131-151).
         """
-        _, h, w, c = f.shape
+        b, h, w, c = f.shape
         y0 = warp(f, grids[0])
 
         def step(carry, g):
@@ -155,11 +155,17 @@ class FlowInterpolator:
             return nxt, nxt
 
         _, rest = jax.lax.scan(step, y0, grids[1:])
-        chain = jnp.concatenate([y0[None], rest], axis=0)  # (T, 1, gh, gw, C)
-        chain = chain[:, 0]
-        if chain.shape[1] != h or chain.shape[2] != w:
-            chain = resize_bilinear(chain, (h, w), align_corners=True)
+        chain = jnp.concatenate([y0[None], rest], axis=0)  # (T, B, gh, gw, C)
+        t = chain.shape[0]
+        if resize and (chain.shape[2] != h or chain.shape[3] != w):
+            flat = chain.reshape(t * b, *chain.shape[2:])
+            flat = resize_bilinear(flat, (h, w), align_corners=True)
+            chain = flat.reshape(t, b, h, w, c)
         return chain
+
+    def _predict_chains(self, f, grids, resize=True):
+        """Single-map chain: (1, H, W, C) + (T, 1, gh, gw, 2) -> (T, ...)."""
+        return self._predict_chains_batched(f, grids, resize=resize)[:, 0]
 
     def predict_clip(
         self,
@@ -213,8 +219,16 @@ class FlowInterpolator:
         maps = []
         if not single:
             if not self.no_warp:
-                fwd = self._predict_chains(f, mvs_left)        # (n-1, fh, fw, C)
-                bwd = self._predict_chains(f_next, mvs_right)  # (n-1, fh, fw, C)
+                # NOTE: batching fwd+bwd into one B=2 scan was tried and is
+                # ~30x SLOWER on v5e (the batched dynamic-gather lowers to a
+                # pathological path); keep the two independent scans, which
+                # XLA can overlap.
+                # resize-after-fuse: blending and bilinear resize are both
+                # linear, so the chains stay at grid resolution and only the
+                # n-1 FUSED maps are resized — identical numerics, half the
+                # resize/fusion HBM traffic vs the reference's order
+                fwd = self._predict_chains(f, mvs_left, resize=False)
+                bwd = self._predict_chains(f_next, mvs_right, resize=False)
 
         # key-frame map through the identity grid (feature_based only)
         if self.feature_based and not self.no_warp and default_grid is not None:
@@ -232,6 +246,8 @@ class FlowInterpolator:
                 inter = wf * f[0][None] + wb * f_next[0][None]
             else:
                 inter = wf * fwd + wb * bwd[::-1]  # bwd[n-p-1] for p=1..n-1
+                if inter.shape[1] != fh or inter.shape[2] != fw:
+                    inter = resize_bilinear(inter, (fh, fw), align_corners=True)
             maps.append(inter)
 
         stack = maps[0][None] if single else jnp.concatenate(
