@@ -188,6 +188,21 @@ class Runner:
         return SemDataset(sem_split, d.data_root, self._list_path(list_name),
                           transform)
 
+    def _unlabeled_dataset(self, transform):
+        """train_u.txt when present; otherwise split the labeled train list
+        by data_ratio (reference BaseDataModule.setup, foundation.py:446-462)."""
+        if os.path.exists(self._list_path("train_u.txt")):
+            return self._dataset("train", "train_u.txt", "u", transform)
+        ds = self._dataset("train", "train.txt", "u", transform)
+        items = ds.items
+        rng = np.random.default_rng(self.cfg.trainer.seed)
+        perm = rng.permutation(len(items))
+        size_l = int(self.cfg.data.data_ratio * len(items))
+        ds.items = [items[i] for i in perm[size_l:]] or list(items)
+        if hasattr(ds, "length"):
+            ds.length = len(ds.items)
+        return ds
+
     def _loader(self, ds, batch_size, shuffle=False, infinite=False, drop_last=False):
         d = self.cfg.data
         return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
@@ -206,7 +221,7 @@ class Runner:
                                      infinite=True, drop_last=True)}
         steps_per_epoch = max(1, len(train_l) // cfg.data.batch_size)
         if cfg.method in ("gan", "flow_gan"):
-            train_u = self._dataset("train", "train_u.txt", "u", tf["train"])
+            train_u = self._unlabeled_dataset(tf["train"])
             train_gt = self._dataset("train", "train.txt", "gt", tf["train"])
             loaders["u"] = self._loader(train_u, cfg.data.batch_size,
                                         shuffle=True, infinite=True, drop_last=True)
@@ -216,7 +231,7 @@ class Runner:
             steps_per_epoch = max(steps_per_epoch,
                                   len(train_u) // cfg.data.batch_size)
         elif cfg.method == "contrastive":
-            train_u = self._dataset("train", "train_u.txt", "u", tf["train"])
+            train_u = self._unlabeled_dataset(tf["train"])
             loaders["u"] = self._loader(train_u, cfg.data.batch_size,
                                         shuffle=True, infinite=True, drop_last=True)
             steps_per_epoch = max(steps_per_epoch,

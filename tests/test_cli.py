@@ -105,3 +105,12 @@ def test_fit_contrastive_cli(tmp_path, synth_root):
     metrics = json.loads(
         (tmp_path / "logs" / "t_contrastive" / "metrics.json").read_text())
     assert "test_miou1_epoch" in metrics
+
+
+@pytest.mark.slow
+def test_fit_gan_cli(tmp_path, synth_root):
+    path = _mini_config(tmp_path, synth_root, "gan")
+    assert _run(["fit", "--config", path]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_gan" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
