@@ -76,3 +76,29 @@ def make_sharded_train_step(train_step: Callable, mesh: Mesh,
         return train_step(state, batch, rng)
 
     return jax.jit(constrained, donate_argnums=(0,))
+
+
+def make_dp_predict_fn(predict_fn: Callable, mesh: Mesh,
+                       axis: str = "data") -> Callable:
+    """Data-parallel clip inference: different key-frame windows to
+    different chips.
+
+    Wraps a single-clip ``predict_fn(variables, fp, fn, ml, mr)`` so a batch
+    of D clips (leading dim = mesh size) runs one-per-chip via shard_map;
+    variables are replicated. Scales video throughput linearly over ICI —
+    headroom beyond the reference's single-GPU predict loop.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_chip(variables, fp, fn_, ml, mr):
+        # shards arrive exactly as one clip: fp (1, H, W, 3), ml (T, 1, ...)
+        out = predict_fn(variables, fp, fn_, ml, mr)
+        return out[None]
+
+    sharded = shard_map(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(None, axis), P(None, axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

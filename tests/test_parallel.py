@@ -72,3 +72,34 @@ def test_shard_batch_layouts():
     )
     assert batch["frame_prev"].sharding.spec == jax.sharding.PartitionSpec("data")
     assert batch["mvs_left"].sharding.spec == jax.sharding.PartitionSpec(None, "data")
+
+
+@pytest.mark.slow
+def test_dp_predict_matches_single_chip():
+    """Clip-parallel flow inference: each device's output equals the
+    single-device predict for its clip."""
+    from floodseg_tpu.parallel.mesh import make_dp_predict_fn
+    from floodseg_tpu.models import build_model
+    from floodseg_tpu.train.flow import make_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid
+
+    n_dev, n, size = 8, 3, 64
+    mesh = create_mesh(("data",), devices=jax.devices()[:n_dev])
+    model = build_model("pspnet", classes=5, layers=50, with_aux=False)
+    vs = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, size + 1, size + 1, 3)),
+        train=False))()
+    pf = make_flow_predict_fn(model, n=n, out_size=(size, size),
+                              default_grid=default_grid(size, size))
+    dp = make_dp_predict_fn(pf, mesh)
+
+    rng = np.random.default_rng(0)
+    fp = jnp.asarray(rng.standard_normal((n_dev, size, size, 3)), jnp.float32)
+    fn_ = jnp.asarray(rng.standard_normal((n_dev, size, size, 3)), jnp.float32)
+    ml = jnp.asarray(rng.uniform(-1, 1, (n - 1, n_dev, 4, 4, 2)), jnp.float32)
+    mr = jnp.asarray(rng.uniform(-1, 1, (n - 1, n_dev, 4, 4, 2)), jnp.float32)
+    out = dp(vs, fp, fn_, ml, mr)
+    assert out.shape == (n_dev, n, size, size)
+    for i in (0, 3, 7):
+        ref = pf(vs, fp[i][None], fn_[i][None], ml[:, i][:, None], mr[:, i][:, None])
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(ref))
