@@ -114,3 +114,23 @@ def test_fit_gan_cli(tmp_path, synth_root):
     metrics = json.loads(
         (tmp_path / "logs" / "t_gan" / "metrics.json").read_text())
     assert "test_miou1_epoch" in metrics
+
+
+@pytest.mark.slow
+def test_fit_flow_gan_cli(tmp_path, synth_root):
+    path = _mini_config(tmp_path, synth_root, "flow_gan")
+    assert _run(["fit", "--config", path]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_flow_gan" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
+    assert "predict_miou1_epoch" in metrics
+
+
+@pytest.mark.slow
+def test_fit_vit_cli(tmp_path, synth_root):
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    assert _run(["fit", "--config", path, "--model.arch", "vit",
+                 "--trainer.run_name", "t_vit"]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_vit" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
