@@ -93,7 +93,7 @@ class Runner:
             cfg.model.arch, classes=cfg.model.classes, layers=cfg.model.layers,
             image_size=cfg.model.test_w,
             semisupervised=(cfg.method == "contrastive" and cfg.model.semisupervised),
-            with_aux=cfg.model.aux, dtype=_dtype(cfg),
+            with_aux=cfg.model.aux, remat=cfg.model.remat, dtype=_dtype(cfg),
         )
         self.sample_input = jnp.zeros(
             (1, self.cfg.data.train_h, self.cfg.data.train_w, 3), jnp.float32

@@ -95,6 +95,7 @@ class ModelConfig:
     unsupervised_loss_weight: float = 1.0
     ema_decay: float = 0.99
     # numerics
+    remat: bool = False     # jax.checkpoint backbone blocks (memory vs ~30% time)
     dtype: str = "float32"       # "float32" | "bfloat16"
     optim: OptimConfig = field(default_factory=OptimConfig)
     loss: LossConfig = field(default_factory=LossConfig)

@@ -29,15 +29,18 @@ def build_model(
     image_size: int = 768,
     semisupervised: bool = False,
     with_aux: bool = True,
+    remat: bool = False,
     dtype: Any = jnp.float32,
     axis_name: Optional[str] = None,
 ):
     if arch == "pspnet":
         return PSPNet(classes=classes, layers=layers, with_aux=with_aux,
-                      with_rep=semisupervised, dtype=dtype, axis_name=axis_name)
+                      with_rep=semisupervised, remat=remat, dtype=dtype,
+                      axis_name=axis_name)
     if arch == "deeplabv3":
         return DeepLabV3(classes=classes, layers=layers, with_aux=with_aux,
-                         with_rep=semisupervised, dtype=dtype, axis_name=axis_name)
+                         with_rep=semisupervised, remat=remat, dtype=dtype,
+                         axis_name=axis_name)
     if arch == "vit":
         return SegmenterViT(classes=classes, image_size=image_size,
                             with_rep=semisupervised, dtype=dtype)

@@ -87,13 +87,15 @@ class DeepLabV3(nn.Module):
     layers: int = 101
     with_aux: bool = True
     with_rep: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
     def setup(self):
         self.backbone = ResNetFeatures(
             depth=self.layers, deep_base=False, dilated=True, semseg_dilation=False,
-            dtype=self.dtype, axis_name=self.axis_name, name="backbone",
+            remat=self.remat, dtype=self.dtype, axis_name=self.axis_name,
+            name="backbone",
         )
         self.classifier = DeepLabHead(self.classes, self.dtype, self.axis_name,
                                       name="classifier")

@@ -69,13 +69,15 @@ class PSPNet(nn.Module):
     zoom_factor: int = 8
     with_aux: bool = True
     with_rep: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
     def setup(self):
         self.backbone = ResNetFeatures(
             depth=self.layers, deep_base=True, dilated=True, semseg_dilation=True,
-            dtype=self.dtype, axis_name=self.axis_name, name="backbone",
+            remat=self.remat, dtype=self.dtype, axis_name=self.axis_name,
+            name="backbone",
         )
         self.ppm = PPM(reduction_dim=2048 // len(self.bins), bins=self.bins,
                        dtype=self.dtype, axis_name=self.axis_name, name="ppm")

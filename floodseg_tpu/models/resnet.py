@@ -66,6 +66,10 @@ class ResNetFeatures(nn.Module):
     deep_base: bool = True
     dilated: bool = True           # dilate layer3 (x2) and layer4 (x4), stride 1
     semseg_dilation: bool = True   # True: all blocks dilated; False: torchvision style
+    remat: bool = False            # jax.checkpoint each bottleneck: trades
+    #                                ~30% step time for O(depth) less live
+    #                                activation memory (needed for U2PL at
+    #                                the reference's 873px crops on 16GB HBM)
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
@@ -73,6 +77,7 @@ class ResNetFeatures(nn.Module):
     def __call__(self, x, train: bool):
         blocks = DEPTH_BLOCKS[self.depth]
         dt, ax = self.dtype, self.axis_name
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
 
         if self.deep_base:
             x = conv(64, 3, stride=2, padding=1, use_bias=False, dtype=dt, name="conv1")(x)
@@ -89,7 +94,7 @@ class ResNetFeatures(nn.Module):
         def stage(x, planes, n_blocks, stride, dilations, name):
             in_feats = x.shape[-1]
             for i in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if i == 0 else 1,
                     dilation=dilations[i],
