@@ -49,7 +49,18 @@ def main():
     from floodseg_tpu.train.flow import make_flow_predict_fn
     from floodseg_tpu.video.grid import default_grid
 
-    dev = jax.devices()[0]
+    # the tunneled TPU backend occasionally fails to register transiently;
+    # retry before giving up
+    dev = None
+    for attempt in range(5):
+        try:
+            dev = jax.devices()[0]
+            break
+        except RuntimeError as e:
+            log(f"device init attempt {attempt + 1} failed: {e}")
+            time.sleep(10)
+    if dev is None:
+        raise SystemExit("no accelerator available")
     log(f"device: {dev.device_kind} ({dev.platform})")
 
     # hermetic 512px clip data with real MV->grid warps

@@ -134,3 +134,22 @@ def test_fit_vit_cli(tmp_path, synth_root):
     metrics = json.loads(
         (tmp_path / "logs" / "t_vit" / "metrics.json").read_text())
     assert "test_miou1_epoch" in metrics
+
+
+def test_unlabeled_fallback_splits_train(tmp_path, synth_root):
+    """Without train_u.txt, the unlabeled stream is split off the labeled
+    train list by data_ratio (reference foundation.py:446-462)."""
+    import shutil
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    root2 = tmp_path / "nounlabeled"
+    shutil.copytree(synth_root, root2)
+    os.remove(root2 / "list" / "all" / "train_u.txt")
+
+    path = _mini_config(tmp_path, str(root2), "supervised")
+    cfg = load_config([path], {"data.data_ratio": "0.5"})
+    runner = Runner(cfg)
+    ds_u = runner._unlabeled_dataset(None)
+    ds_l = runner._dataset("train", "train.txt", "l", None)
+    assert len(ds_u) == len(ds_l) - int(0.5 * len(ds_l))
