@@ -1,0 +1,59 @@
+"""Small-utility coverage: ConcatDataset routing, PhaseProfiler, checkpoint
+top-k retention."""
+
+import numpy as np
+
+from floodseg_tpu.core.profiler import PhaseProfiler
+from floodseg_tpu.data.dataset import ConcatDataset
+
+
+class _FakeDs:
+    def __init__(self, n, tag):
+        self.n, self.tag = n, tag
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i, rng):
+        return {"tag": self.tag, "i": i}
+
+
+def test_concat_dataset_routes_and_tags():
+    ds = ConcatDataset([_FakeDs(3, "a"), _FakeDs(2, "b")])
+    assert len(ds) == 5
+    rng = np.random.default_rng(0)
+    assert ds.get(0, rng) == {"tag": "a", "i": 0, "dataset_idx": 0}
+    assert ds.get(3, rng) == {"tag": "b", "i": 0, "dataset_idx": 1}
+    assert ds.get(-1, rng) == {"tag": "b", "i": 1, "dataset_idx": 1}
+
+
+def test_phase_profiler():
+    import time
+    p = PhaseProfiler()
+    with p.profile("x"):
+        time.sleep(0.01)
+    with p.profile("x"):
+        time.sleep(0.01)
+    s = p.summary()
+    assert s["x"]["count"] == 2
+    assert s["x"]["mean"] >= 0.009
+    assert p.sum("x") >= 0.018
+
+
+def test_checkpoint_topk(tmp_path):
+    import jax.numpy as jnp
+    from floodseg_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=2)
+    for epoch, miou in enumerate([0.1, 0.5, 0.3, 0.7]):
+        state = {"w": jnp.full((2,), float(epoch))}
+        mgr.save(state, epoch, {"val_miou_epoch": miou})
+    # top-2 kept: epochs 3 (0.7) and 1 (0.5)
+    kept = {e["epoch"] for e in mgr._index}
+    assert kept == {1, 3}
+    assert mgr.best_path.endswith("epoch=3-val_miou_epoch=0.7000")
+    restored = mgr.restore({"w": jnp.zeros((2,))}, mgr.best_path)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [3.0, 3.0])
+    # last == newest
+    restored_last = mgr.restore({"w": jnp.zeros((2,))})
+    np.testing.assert_array_equal(np.asarray(restored_last["w"]), [3.0, 3.0])
