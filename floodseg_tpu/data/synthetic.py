@@ -123,9 +123,12 @@ def generate_synthetic_dataset(
                 f.write(f"{label} {video_id} {fid}\n")
 
     k = len(lab_ids)
-    train_ids = lab_ids[: max(1, k - 2)]
-    val_ids = lab_ids[max(1, k - 2):max(1, k - 1)]
-    test_ids = lab_ids[max(1, k - 1):]
+    n_val = max(1, int(round(0.15 * k)))
+    n_test = max(1, int(round(0.15 * k)))
+    n_train = max(1, k - n_val - n_test)
+    train_ids = lab_ids[:n_train]
+    val_ids = lab_ids[n_train:n_train + n_val]
+    test_ids = lab_ids[n_train + n_val:]
     write_list("train.txt", train_ids)
     write_list("val.txt", val_ids if len(val_ids) else lab_ids[:1])
     write_list("test.txt", test_ids if len(test_ids) else lab_ids[:1])
