@@ -134,6 +134,48 @@ def convert_pspnet_state_dict(sd: Mapping, layers: int = 50) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_deeplabv3_state_dict(sd: Mapping, layers: int = 50) -> dict:
+    """torchvision ``deeplabv3_resnet{50,101}`` state_dict -> variables.
+
+    The reference builds its DeepLabV3 from torch.hub pretrained weights
+    (/root/reference/model/deeplabv3.py:15-19) with the head conv layers
+    replaced; this converts the full torchvision naming:
+    backbone.* (standard stem), classifier.0 = ASPP
+    (convs.0 1x1 / convs.1-3 dilated 3x3 / convs.4 image pooling, project),
+    classifier.{1,2,4} = 3x3 conv + BN + final 1x1, aux_classifier = FCNHead.
+    """
+    from floodseg_tpu.models.resnet import DEPTH_BLOCKS
+
+    bb_p, bb_s = convert_resnet_backbone(
+        sd, DEPTH_BLOCKS[layers], deep_base=False, prefix="backbone.")
+
+    aspp_p: Dict[str, dict] = {}
+    aspp_s: Dict[str, dict] = {}
+    aspp_p["b0_conv"] = _conv(sd, "classifier.0.convs.0.0")
+    aspp_p["b0_bn"], aspp_s["b0_bn"] = _bn(sd, "classifier.0.convs.0.1")
+    for i in (1, 2, 3):
+        aspp_p[f"b{i}_conv"] = _conv(sd, f"classifier.0.convs.{i}.0")
+        aspp_p[f"b{i}_bn"], aspp_s[f"b{i}_bn"] = _bn(sd, f"classifier.0.convs.{i}.1")
+    # ASPPPooling: index 0 is the (parameterless) AdaptiveAvgPool2d
+    aspp_p["pool_conv"] = _conv(sd, "classifier.0.convs.4.1")
+    aspp_p["pool_bn"], aspp_s["pool_bn"] = _bn(sd, "classifier.0.convs.4.2")
+    aspp_p["project_conv"] = _conv(sd, "classifier.0.project.0")
+    aspp_p["project_bn"], aspp_s["project_bn"] = _bn(sd, "classifier.0.project.1")
+
+    cls_p = {"aspp": aspp_p, "conv": _conv(sd, "classifier.1"),
+             "classifier": _conv_b(sd, "classifier.4")}
+    cls_p["bn"], cls_bn_s = _bn(sd, "classifier.2")
+    params = {"backbone": bb_p, "classifier": cls_p}
+    stats = {"backbone": bb_s, "classifier": {"aspp": aspp_s, "bn": cls_bn_s}}
+    if "aux_classifier.0.weight" in sd:
+        aux_p = {"conv": _conv(sd, "aux_classifier.0"),
+                 "classifier": _conv_b(sd, "aux_classifier.4")}
+        aux_p["bn"], aux_bn_s = _bn(sd, "aux_classifier.1")
+        params["aux_classifier"] = aux_p
+        stats["aux_classifier"] = {"bn": aux_bn_s}
+    return {"params": params, "batch_stats": stats}
+
+
 def _ln(sd, key):
     return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
 
