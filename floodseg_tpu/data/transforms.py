@@ -200,7 +200,9 @@ class Crop:
         pad_w = max(self.crop_w - w, 0)
         if pad_h > 0 or pad_w > 0:
             if self.padding is None:
-                raise RuntimeError("segtransform.Crop() needs padding while padding argument is None")
+                raise RuntimeError(
+                    f"Crop to {self.crop_h}x{self.crop_w} requires padding a "
+                    f"{h}x{w} input, but no padding value was configured")
             t, b_ = pad_h // 2, pad_h - pad_h // 2
             l, r = pad_w // 2, pad_w - pad_w // 2
 
