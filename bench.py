@@ -30,6 +30,12 @@ def log(*a):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed clips")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -140,10 +146,16 @@ def main():
 
     # timed clips
     timed = batches[1:1 + CLIPS_TIMED]
+    import contextlib
+    trace_cm = contextlib.nullcontext()
+    if args.trace:
+        trace_cm = jax.profiler.trace(args.trace)
+        log(f"tracing to {args.trace}")
     t0 = time.perf_counter()
-    for b in timed:
-        out = run(b)
-    force(out)
+    with trace_cm:
+        for b in timed:
+            out = run(b)
+        force(out)
     dt = time.perf_counter() - t0
     frames = len(timed) * FRAME_DELTA
     fps = frames / dt

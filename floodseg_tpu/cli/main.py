@@ -71,6 +71,9 @@ def main(argv=None):
 
     if args.subcommand == "fit":
         state = runner.fit()
+        # after_run evaluates the BEST checkpoint, not the (possibly
+        # early-stopped, post-best) final state (reference base/cli.py:169-187)
+        state = runner.restore_best(state)
         results = runner.test(state)
         print("test:", {k: v for k, v in results.items()
                         if not isinstance(v, list)})

@@ -43,6 +43,9 @@ from floodseg_tpu.train import flow as flow_mod
 from floodseg_tpu.train import contrastive as u2pl_mod
 from floodseg_tpu.train.evaluate import make_crop_forward, multi_scale_test, flow_sliding_window_test
 from floodseg_tpu.train.predict import run_predict
+from floodseg_tpu.parallel.mesh import (
+    create_mesh, shard_batch, replicated_sharding, sharded_jit,
+)
 from floodseg_tpu.video.grid import default_grid
 
 FLOW_METHODS = ("flow_supervised", "flow_gan")
@@ -81,6 +84,14 @@ class Runner:
             os.path.join(self.logger.log_dir, "checkpoints"),
             save_top_k=cfg.trainer.save_top_k,
         )
+        # data parallelism over all (or trainer.num_devices) chips by
+        # default, like the reference's DDP over all GPUs
+        # (configs/train_base.yaml:24, base/cli.py:159)
+        avail = len(jax.devices())
+        n = avail if cfg.trainer.num_devices is None \
+            else min(cfg.trainer.num_devices, avail)
+        self.mesh = create_mesh(devices=jax.devices()[:n]) if n > 1 else None
+        self.num_devices = n if self.mesh is not None else 1
         self._build_model()
 
     # ------------------------------------------------------------------
@@ -188,20 +199,29 @@ class Runner:
         return SemDataset(sem_split, d.data_root, self._list_path(list_name),
                           transform)
 
-    def _unlabeled_dataset(self, transform):
-        """train_u.txt when present; otherwise split the labeled train list
-        by data_ratio (reference BaseDataModule.setup, foundation.py:446-462)."""
+    def _train_datasets(self, transform, need_unlabeled: bool):
+        """(labeled, unlabeled) train datasets.
+
+        With train_u.txt present the labeled set is the full train list.
+        Otherwise random-split train.txt into DISJOINT l/u by data_ratio —
+        the labeled set shrinks too (reference BaseDataModule.setup,
+        foundation.py:446-462 random_split([size_l, size_u]))."""
+        ds_l = self._dataset("train", "train.txt", "l", transform)
+        if not need_unlabeled:
+            return ds_l, None
         if os.path.exists(self._list_path("train_u.txt")):
-            return self._dataset("train", "train_u.txt", "u", transform)
-        ds = self._dataset("train", "train.txt", "u", transform)
-        items = ds.items
+            return ds_l, self._dataset("train", "train_u.txt", "u", transform)
+        ds_u = self._dataset("train", "train.txt", "u", transform)
+        items = list(ds_l.items)
         rng = np.random.default_rng(self.cfg.trainer.seed)
         perm = rng.permutation(len(items))
         size_l = int(self.cfg.data.data_ratio * len(items))
-        ds.items = [items[i] for i in perm[size_l:]] or list(items)
-        if hasattr(ds, "length"):
-            ds.length = len(ds.items)
-        return ds
+        ds_l.items = [items[i] for i in perm[:size_l]] or list(items)
+        ds_u.items = [items[i] for i in perm[size_l:]] or list(items)
+        for ds in (ds_l, ds_u):
+            if hasattr(ds, "length"):
+                ds.length = len(ds.items)
+        return ds_l, ds_u
 
     def _loader(self, ds, batch_size, shuffle=False, infinite=False, drop_last=False):
         d = self.cfg.data
@@ -216,26 +236,31 @@ class Runner:
     def fit(self):
         cfg = self.cfg
         tf = self._transforms()
-        train_l = self._dataset("train", "train.txt", "l", tf["train"])
-        loaders = {"l": self._loader(train_l, cfg.data.batch_size, shuffle=True,
+        train_l, train_u = self._train_datasets(
+            tf["train"], need_unlabeled=cfg.method in SEMI_METHODS)
+        # per-device batch semantics: data.batch_size is per chip and the
+        # loader yields the global batch, like Lightning DDP where each of
+        # N processes loads batch_size samples (configs/train_base.yaml:22-24)
+        global_batch = cfg.data.batch_size * self.num_devices
+        if self.mesh is not None and global_batch > len(train_l):
+            raise ValueError(
+                f"global batch {global_batch} ({cfg.data.batch_size} x "
+                f"{self.num_devices} devices) exceeds the labeled train set "
+                f"({len(train_l)}); lower data.batch_size or "
+                f"trainer.num_devices")
+        loaders = {"l": self._loader(train_l, global_batch, shuffle=True,
                                      infinite=True, drop_last=True)}
-        steps_per_epoch = max(1, len(train_l) // cfg.data.batch_size)
-        if cfg.method in ("gan", "flow_gan"):
-            train_u = self._unlabeled_dataset(tf["train"])
-            train_gt = self._dataset("train", "train.txt", "gt", tf["train"])
-            loaders["u"] = self._loader(train_u, cfg.data.batch_size,
+        steps_per_epoch = max(1, len(train_l) // global_batch)
+        if train_u is not None:
+            loaders["u"] = self._loader(train_u, global_batch,
                                         shuffle=True, infinite=True, drop_last=True)
-            loaders["gt"] = self._loader(train_gt, cfg.data.batch_size,
-                                         shuffle=True, infinite=True, drop_last=True)
             # max_size_cycle (configs/train_base.yaml:38)
             steps_per_epoch = max(steps_per_epoch,
-                                  len(train_u) // cfg.data.batch_size)
-        elif cfg.method == "contrastive":
-            train_u = self._unlabeled_dataset(tf["train"])
-            loaders["u"] = self._loader(train_u, cfg.data.batch_size,
-                                        shuffle=True, infinite=True, drop_last=True)
-            steps_per_epoch = max(steps_per_epoch,
-                                  len(train_u) // cfg.data.batch_size)
+                                  len(train_u) // global_batch)
+        if cfg.method in ("gan", "flow_gan"):
+            train_gt = self._dataset("train", "train.txt", "gt", tf["train"])
+            loaders["gt"] = self._loader(train_gt, global_batch,
+                                         shuffle=True, infinite=True, drop_last=True)
         if cfg.trainer.limit_train_batches:
             steps_per_epoch = min(steps_per_epoch, cfg.trainer.limit_train_batches)
 
@@ -249,10 +274,12 @@ class Runner:
         if cfg.trainer.resume and self.ckpt.last_path is not None:
             # crash recovery / resume-by-runid (base/cli.py:114-118)
             state = self.ckpt.restore(state, self.ckpt.last_path)
-            start_epoch = max((e["epoch"] for e in self.ckpt._index),
-                              default=-1) + 1
+            last_epoch = self.ckpt.last_epoch
+            start_epoch = (last_epoch + 1) if last_epoch is not None else 0
             print(f"resumed from {self.ckpt.last_path} at epoch {start_epoch}",
                   flush=True)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
 
         best_metric, best_epoch = -np.inf, -1
         global_step = start_epoch * steps_per_epoch
@@ -262,7 +289,8 @@ class Runner:
             train_meter = MetricMeter(self.num_classes)
             loss_sum, loss_n = 0.0, 0
             for _ in range(steps_per_epoch):
-                batch = {k: _jnp_batch(next(it)) for k, it in iters.items()}
+                batch = {k: self._device_batch(next(it))
+                         for k, it in iters.items()}
                 if len(batch) == 1:
                     batch = batch["l"]
                 step_rng = jax.random.fold_in(self.rng, global_step)
@@ -293,8 +321,7 @@ class Runner:
             print(f"epoch {epoch}: loss {loss_sum / max(loss_n, 1):.4f} "
                   f"val_miou {val_miou:.4f}", flush=True)
 
-            self.ckpt.save(self._ckpt_payload(state), epoch,
-                           {"val_miou_epoch": val_miou})
+            self.ckpt.save(state, epoch, {"val_miou_epoch": val_miou})
 
             # EarlyStopping(patience, min_delta) on val_miou_epoch (cli.py:104)
             if val_miou > best_metric + cfg.trainer.early_stopping_min_delta:
@@ -304,15 +331,36 @@ class Runner:
                       f"(best {best_metric:.4f} @ {best_epoch})", flush=True)
                 break
 
+        self.ckpt.wait()  # drain async checkpoint writes before returning
         self.logger.update_summary({"best_val_miou": best_metric,
                                     "best_epoch": best_epoch})
         self._state = state
         return state
 
-    def _ckpt_payload(self, state):
-        """Checkpoint the arrays only (optimizer tx is static)."""
-        if isinstance(state, tuple) and hasattr(state, "_fields"):  # NamedTuple
-            return jax.tree.map(lambda x: x, state)
+    def _device_batch(self, batch):
+        """Host batch -> device: batch-dim sharded over the mesh when data
+        parallelism is active, plain transfer otherwise."""
+        if self.mesh is None:
+            return _jnp_batch(batch)
+        return shard_batch(batch, self.mesh)
+
+    def _jit_train(self, fn, batch_argnums=(1,)):
+        """jit a train step; under a mesh the batch args are sharded and the
+        rest replicated (grad all-reduce + SyncBN via XLA, SURVEY §2.3)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        return sharded_jit(fn, self.mesh, batch_argnums=batch_argnums)
+
+    def restore_best(self, state):
+        """Restore the best-val checkpoint into ``state``'s structure, for
+        after-fit test/predict (reference base/cli.py:169-187 re-evaluates
+        ``best_model_path``). Falls back to the final state when no
+        checkpoint was written (e.g. limit_val_batches=0 smoke fits)."""
+        path = self.ckpt.best_path
+        if path is None:
+            return state
+        state = self.ckpt.restore(state, path)
+        self._state = state
         return state
 
     # ------------------------------------------------------------------
@@ -335,9 +383,8 @@ class Runner:
                                        tx, pretrained_variables=pre)
             loss_fn = sup.make_loss_fn(m.loss.loss, m.aux_weight if m.aux else 0.0,
                                        m.ignore_index, m.loss.thresh, m.loss.min_kept)
-            step = jax.jit(sup.make_train_step(self.model, loss_fn,
-                                               self.num_classes, m.ignore_index,
-                                               sched))
+            step = self._jit_train(sup.make_train_step(
+                self.model, loss_fn, self.num_classes, m.ignore_index, sched))
             ev = jax.jit(sup.make_eval_step(self.model, self.num_classes,
                                             m.ignore_index))
             return state, (lambda s, b, r, e: step(s, b, r)), \
@@ -351,8 +398,8 @@ class Runner:
             interp_step, plain_step = flow_mod.make_flow_train_step(
                 self.model, loss_fn, self.num_classes, m.ignore_index,
                 m.feature_based, m.no_warp)
-            interp_step = jax.jit(interp_step)
-            plain_step = jax.jit(plain_step)
+            interp_step = self._jit_train(interp_step)
+            plain_step = self._jit_train(plain_step)
             coin = np.random.default_rng(cfg.trainer.seed)
 
             def train_fn(s, b, r, e):
@@ -382,10 +429,11 @@ class Runner:
             g_fwd = (gan_mod.flow_g_forward(self.model, m.feature_based, m.no_warp)
                      if cfg.method == "flow_gan"
                      else gan_mod.single_frame_g_forward(self.model))
-            step = jax.jit(gan_mod.make_gan_train_step(
+            step = self._jit_train(gan_mod.make_gan_train_step(
                 g_fwd, self.model_d, self.num_classes, m.ignore_index,
                 m.threshold_st, m.lambda_fm, m.lambda_st,
-                gt_norm_by_labeled_max=(cfg.method == "gan")))
+                gt_norm_by_labeled_max=(cfg.method == "gan")),
+                batch_argnums=(2,))
 
             class GanState(tuple):
                 pass
@@ -418,7 +466,9 @@ class Runner:
                 temperature=m.contrastive.temperature,
                 loss_weight=m.contrastive.loss_weight,
                 max_enqueue=m.contrastive.max_enqueue,
-                num_devices=len(jax.devices()),
+                # the reference divides the contra loss by the DDP world
+                # size (contrastive.py:379-382) — tie to the actual mesh
+                num_devices=self.num_devices,
             )
             state = u2pl_mod.create_u2pl_state(
                 self.model, self.rng, self.sample_input, tx,
@@ -435,8 +485,8 @@ class Runner:
                 m.aux_weight if m.aux else 0.0, m.loss.thresh, m.loss.min_kept,
                 m.unsupervised_apply_aug, m.unsupervised_drop_percent,
                 m.unsupervised_loss_weight, m.ema_decay)
-            sup_step = jax.jit(sup_step)
-            semi_step = jax.jit(semi_step)
+            sup_step = self._jit_train(sup_step)
+            semi_step = self._jit_train(semi_step)
             boundary = {"synced": False}
             max_epochs = cfg.trainer.max_epochs
             sup_only = m.sup_only_epoch
@@ -445,9 +495,12 @@ class Runner:
             def train_fn(s, b, r, e):
                 if e < sup_only:
                     return sup_step(s, b, r)
-                if not boundary["synced"]:
+                # sync student->teacher exactly once, at the boundary EPOCH
+                # (contrastive.py:214-219). A resume past the boundary must
+                # NOT re-sync — that would clobber the restored EMA teacher.
+                if e == sup_only and not boundary["synced"]:
                     s = u2pl_mod.sync_teacher(s)
-                    boundary["synced"] = True
+                boundary["synced"] = True
                 rel = int(s.student.step) - steps_per_epoch * sup_only
                 return semi_step(s, b, r, jnp.float32(e / max_epochs),
                                  jnp.int32(max(rel, 0)))
@@ -507,6 +560,17 @@ class Runner:
         tf = self._transforms()
         results = {}
         meters = {}
+        # build the jitted test programs ONCE — they are shape-stable across
+        # both held-out video lists, so per-list rebuilds only re-trace
+        if self.is_flow:
+            crop_fn = flow_mod.make_flow_test_crop_fn(
+                self.model, self.num_classes, cfg.model.feature_based,
+                cfg.model.no_warp)
+            eval_whole = jax.jit(flow_mod.make_flow_eval_step(
+                self.model, self.num_classes, cfg.model.ignore_index,
+                cfg.model.feature_based, cfg.model.no_warp))
+        else:
+            crop_forward = make_crop_forward(self.model, self.num_classes)
         for idx, list_name in enumerate(["test.txt", "test2.txt"]):
             path = self._list_path(list_name)
             if not os.path.exists(path):
@@ -517,15 +581,6 @@ class Runner:
                 ds = SemDataset("val", cfg.data.data_root, path, tf["test"])
             loader = self._loader(ds, 1)
             meter = MetricMeter(self.num_classes)
-            if self.is_flow:
-                crop_fn = flow_mod.make_flow_test_crop_fn(
-                    self.model, self.num_classes, cfg.model.feature_based,
-                    cfg.model.no_warp)
-                eval_whole = jax.jit(flow_mod.make_flow_eval_step(
-                    self.model, self.num_classes, cfg.model.ignore_index,
-                    cfg.model.feature_based, cfg.model.no_warp))
-            else:
-                crop_forward = make_crop_forward(self.model, self.num_classes)
             for bi, batch in enumerate(loader):
                 if cfg.trainer.limit_test_batches and bi >= cfg.trainer.limit_test_batches:
                     break
@@ -582,6 +637,25 @@ class Runner:
             feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
             out_size=(cfg.data.resize_h, cfg.data.resize_w),
             default_grid=ds.default_grid)
+        if self.mesh is not None:
+            # clip-parallel inference: one key-frame window per chip
+            # (shard_map over ICI; the reference predicts on a single GPU)
+            from floodseg_tpu.parallel.mesh import make_dp_predict_fn
+            dp_fn = make_dp_predict_fn(predict_fn, self.mesh)
+            n_dev, single_fn = self.num_devices, predict_fn
+
+            def predict_dispatch(v, fp, fn_, ml, mr):
+                if fp.shape[0] == n_dev:
+                    out = dp_fn(v, fp, fn_, ml, mr)      # (D, n, H, W)
+                    return out.reshape((-1,) + out.shape[2:])
+                # remainder batch: clips one at a time
+                outs = [single_fn(v, fp[i:i + 1], fn_[i:i + 1],
+                                  ml[:, i:i + 1], mr[:, i:i + 1])
+                        for i in range(fp.shape[0])]
+                return jnp.concatenate(outs, axis=0)
+
+            predict_fn = predict_dispatch
+            loader = self._loader(ds, self.num_devices)
         summary = run_predict(
             predict_fn, variables, loader, self.num_classes, colors=colors,
             save_images_dir=os.path.join(self.logger.log_dir, "frames",

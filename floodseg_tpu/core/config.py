@@ -182,9 +182,23 @@ def _set_dotted(obj, path: str, value: Any):
     if not hasattr(obj, leaf):
         raise KeyError(f"unknown config key {path!r}")
     cur = getattr(obj, leaf)
-    if isinstance(value, str) and cur is not None and not isinstance(cur, str):
-        value = yaml.safe_load(value)
+    if isinstance(value, str):
+        if cur is not None and not isinstance(cur, str):
+            value = yaml.safe_load(value)
+        elif cur is None and _field_wants_yaml(type(obj), leaf):
+            # Optional[int/float/bool] fields default to None — coerce by
+            # the annotation, not the (absent) current value
+            value = yaml.safe_load(value)
     setattr(obj, leaf, value)
+
+
+def _field_wants_yaml(cls, name: str) -> bool:
+    import typing
+    t = typing.get_type_hints(cls).get(name)
+    if t is None:
+        return False
+    args = [a for a in typing.get_args(t) if a is not type(None)]
+    return (all(a is not str for a in args)) if args else (t is not str)
 
 
 def load_config(config_files: List[str], overrides: Optional[Dict[str, Any]] = None,

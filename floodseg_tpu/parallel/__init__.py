@@ -3,7 +3,9 @@ from floodseg_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    sharded_jit,
     make_sharded_train_step,
+    make_dp_predict_fn,
 )
 
 __all__ = [
@@ -11,5 +13,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "sharded_jit",
     "make_sharded_train_step",
+    "make_dp_predict_fn",
 ]

@@ -65,17 +65,31 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data",
     return out
 
 
+def sharded_jit(fn: Callable, mesh: Mesh, batch_argnums=(1,),
+                donate_argnums=(), axis: str = "data") -> Callable:
+    """jit ``fn`` for data parallelism over ``mesh``: every argument except
+    the batch args is constrained replicated, batches arrive pre-sharded by
+    ``shard_batch``. XLA inserts the gradient all-reduce; BatchNorm moments
+    over the sharded batch dim are global (= SyncBatchNorm); metric
+    reductions come back replicated (= sync_dist=True)."""
+    repl = replicated_sharding(mesh)
+    batch_argnums = set(batch_argnums)
+
+    def constrained(*args):
+        args = [a if i in batch_argnums
+                else jax.lax.with_sharding_constraint(a, repl)
+                for i, a in enumerate(args)]
+        return fn(*args)
+
+    return jax.jit(constrained, donate_argnums=donate_argnums)
+
+
 def make_sharded_train_step(train_step: Callable, mesh: Mesh,
                             axis: str = "data") -> Callable:
     """jit ``train_step(state, batch, rng)`` with state replicated and the
     batch sharded over ``axis`` (XLA adds the gradient all-reduce)."""
-    repl = replicated_sharding(mesh)
-
-    def constrained(state, batch, rng):
-        state = jax.lax.with_sharding_constraint(state, repl)
-        return train_step(state, batch, rng)
-
-    return jax.jit(constrained, donate_argnums=(0,))
+    return sharded_jit(train_step, mesh, batch_argnums=(1,),
+                       donate_argnums=(0,), axis=axis)
 
 
 def make_dp_predict_fn(predict_fn: Callable, mesh: Mesh,
@@ -88,7 +102,7 @@ def make_dp_predict_fn(predict_fn: Callable, mesh: Mesh,
     variables are replicated. Scales video throughput linearly over ICI —
     headroom beyond the reference's single-GPU predict loop.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_chip(variables, fp, fn_, ml, mr):
         # shards arrive exactly as one clip: fp (1, H, W, 3), ml (T, 1, ...)

@@ -24,7 +24,11 @@ def _mini_config(tmp_path, synth_root, method):
         "trainer": {"max_epochs": 2, "seed": 1, "log_dir": str(tmp_path / "logs"),
                     "run_name": f"t_{method}", "limit_train_batches": 2,
                     "limit_val_batches": 2, "limit_test_batches": 1,
-                    "save_top_k": 2},
+                    "save_top_k": 2,
+                    # single-device by default: the conftest exposes 8
+                    # virtual CPU devices and DP would need global batches
+                    # larger than the tiny synthetic train set
+                    "num_devices": 1},
         "model": {"arch": "pspnet", "layers": 50, "classes": 5,
                   "test_base_size": 128,
                   "optim": {"lr": 0.0005},
@@ -137,8 +141,9 @@ def test_fit_vit_cli(tmp_path, synth_root):
 
 
 def test_unlabeled_fallback_splits_train(tmp_path, synth_root):
-    """Without train_u.txt, the unlabeled stream is split off the labeled
-    train list by data_ratio (reference foundation.py:446-462)."""
+    """Without train_u.txt, train.txt is random-split into DISJOINT l/u sets
+    by data_ratio — the labeled set shrinks too (reference
+    foundation.py:446-462 random_split([size_l, size_u]))."""
     import shutil
     from floodseg_tpu.core.config import load_config
     from floodseg_tpu.cli.runner import Runner
@@ -147,9 +152,169 @@ def test_unlabeled_fallback_splits_train(tmp_path, synth_root):
     shutil.copytree(synth_root, root2)
     os.remove(root2 / "list" / "all" / "train_u.txt")
 
-    path = _mini_config(tmp_path, str(root2), "supervised")
+    path = _mini_config(tmp_path, str(root2), "gan")
     cfg = load_config([path], {"data.data_ratio": "0.5"})
     runner = Runner(cfg)
-    ds_u = runner._unlabeled_dataset(None)
-    ds_l = runner._dataset("train", "train.txt", "l", None)
-    assert len(ds_u) == len(ds_l) - int(0.5 * len(ds_l))
+    full = runner._dataset("train", "train.txt", "l", None)
+    ds_l, ds_u = runner._train_datasets(None, need_unlabeled=True)
+    size_l = int(0.5 * len(full))
+    assert len(ds_l) == size_l
+    assert len(ds_u) == len(full) - size_l
+    # disjoint: no item appears in both splits
+    assert not (set(map(tuple, ds_l.items)) & set(map(tuple, ds_u.items)))
+
+
+def test_unlabeled_list_keeps_full_labeled_set(tmp_path, synth_root):
+    """With train_u.txt present the labeled set is the FULL train list."""
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "gan")
+    cfg = load_config([path], {"data.data_ratio": "0.5"})
+    runner = Runner(cfg)
+    full = runner._dataset("train", "train.txt", "l", None)
+    ds_l, ds_u = runner._train_datasets(None, need_unlabeled=True)
+    assert len(ds_l) == len(full)
+    assert len(ds_u) > 0
+
+
+def test_after_fit_evaluates_best_checkpoint(tmp_path, synth_root):
+    """restore_best loads the top-val checkpoint, not the final state
+    (reference base/cli.py:169-187 uses best_model_path)."""
+    import jax.numpy as jnp
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    cfg = load_config([path], {"trainer.run_name": "t_best"})
+    runner = Runner(cfg)
+    state, _, _ = runner._build_states_and_steps(max_iter=1)
+
+    best_state = state.replace(step=jnp.int32(111))
+    worse_state = state.replace(step=jnp.int32(222))
+    runner.ckpt.save(best_state, epoch=0, metrics={"val_miou_epoch": 0.9})
+    runner.ckpt.save(worse_state, epoch=1, metrics={"val_miou_epoch": 0.1})
+
+    restored = runner.restore_best(worse_state)
+    assert int(restored.step) == 111
+    # resume epoch derives from the LAST save, not the top-k index
+    assert runner.ckpt.last_epoch == 1
+
+
+def _fit_params(tmp_path, synth_root, method, run_name, num_devices,
+                batch_size, extra=None):
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+    path = _mini_config(tmp_path, synth_root, method)
+    ov = {"trainer.num_devices": str(num_devices),
+          "data.batch_size": str(batch_size),
+          # one epoch: bitwise-close single-step parity (longer fits drift
+          # by f32 reduction-order differences amplified through BN)
+          "trainer.max_epochs": "1",
+          "trainer.run_name": run_name}
+    ov.update(extra or {})
+    runner = Runner(load_config([path], ov))
+    state = runner.fit()
+    if method in ("gan", "flow_gan"):
+        state = state[0]
+    if method == "contrastive":
+        state = state.student
+    return state
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method,extra", [
+    ("supervised", None),
+    ("gan", None),
+    # contra loss scales by 1/world_size by DESIGN (reference
+    # contrastive.py:379-382), so identity across device counts needs it off
+    ("contrastive", {"model.contrastive.enabled": "false"}),
+])
+def test_fit_dp_matches_single_device(tmp_path, synth_root, method, extra):
+    """A Runner fit sharded over 2 devices is step-identical to the same
+    GLOBAL batch on one device (DDP parity: grad allreduce + SyncBN +
+    sync_dist come from the sharded jit, reference configs/train_base.yaml:24)."""
+    import jax
+
+    s1 = _fit_params(tmp_path, synth_root, method, f"dp1_{method}", 1, 4, extra)
+    s2 = _fit_params(tmp_path, synth_root, method, f"dp2_{method}", 2, 2, extra)
+    l1, l2 = jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_predict_dp_matches_single_device(tmp_path, synth_root):
+    """Clip-parallel predict through the Runner (one window per device via
+    shard_map, remainder clips singly) returns the same temporal-consistency
+    metrics as the single-device loop."""
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "flow_supervised")
+    out = {}
+    for nd in (1, 2):
+        cfg = load_config([path], {"trainer.num_devices": str(nd),
+                                   "trainer.run_name": f"pdp{nd}"})
+        r = Runner(cfg)
+        state, _, _ = r._build_states_and_steps(max_iter=1)
+        out[nd] = r.predict(state)
+    assert out[1]["frames"] == out[2]["frames"] > 0
+    np.testing.assert_allclose(out[1]["predict_miou1_epoch"],
+                               out[2]["predict_miou1_epoch"], rtol=1e-6)
+
+
+def test_u2pl_teacher_sync_only_at_boundary_epoch(tmp_path, synth_root,
+                                                  monkeypatch):
+    """Student->teacher sync happens exactly once, AT the boundary epoch
+    (reference contrastive.py:214-219). A resume past the boundary must not
+    re-sync — that would clobber the restored EMA teacher with the student."""
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+    from floodseg_tpu.train import contrastive as u2pl_mod
+
+    from typing import NamedTuple
+
+    class _Student(NamedTuple):
+        step: int
+
+    class _State(NamedTuple):
+        student: _Student
+
+    calls = {"sync": 0}
+    fake_state = _State(_Student(7))  # NamedTuple: jit-traceable pytree
+
+    def fake_steps(*a, **k):
+        return (lambda s, b, r: (s, {})), (lambda s, b, r, frac, rel: (s, {}))
+
+    def fake_sync(s):
+        calls["sync"] += 1
+        return s
+
+    monkeypatch.setattr(u2pl_mod, "make_u2pl_steps", fake_steps)
+    monkeypatch.setattr(u2pl_mod, "create_u2pl_state",
+                        lambda *a, **k: fake_state)
+    monkeypatch.setattr(u2pl_mod, "sync_teacher", fake_sync)
+
+    path = _mini_config(tmp_path, synth_root, "contrastive")
+    cfg = load_config([path], {"trainer.run_name": "t_sync",
+                               "model.pretrained": "false"})
+
+    # fresh fit: sup epoch, then boundary epoch syncs exactly once
+    runner = Runner(cfg)
+    _, train_fn, _ = runner._build_states_and_steps(max_iter=4)
+    train_fn(fake_state, None, None, 0)    # e < sup_only: supervised path
+    assert calls["sync"] == 0
+    train_fn(fake_state, None, None, 1)    # boundary epoch: one sync
+    train_fn(fake_state, None, None, 1)
+    assert calls["sync"] == 1
+
+    # resume PAST the boundary: a fresh process must never re-sync
+    calls["sync"] = 0
+    runner2 = Runner(cfg)
+    _, train_fn2, _ = runner2._build_states_and_steps(max_iter=4)
+    train_fn2(fake_state, None, None, 2)
+    train_fn2(fake_state, None, None, 3)
+    assert calls["sync"] == 0

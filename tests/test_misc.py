@@ -57,3 +57,13 @@ def test_checkpoint_topk(tmp_path):
     # last == newest
     restored_last = mgr.restore({"w": jnp.zeros((2,))})
     np.testing.assert_array_equal(np.asarray(restored_last["w"]), [3.0, 3.0])
+    # a save that cannot enter the top-k skips the named write entirely,
+    # but still refreshes "last" and the resume epoch
+    import os
+    mgr.save({"w": jnp.full((2,), 4.0)}, 4, {"val_miou_epoch": 0.05})
+    mgr.wait()
+    assert not any(f.startswith("epoch=4") for f in os.listdir(mgr.directory))
+    assert mgr.last_epoch == 4
+    restored_last = mgr.restore({"w": jnp.zeros((2,))})
+    np.testing.assert_array_equal(np.asarray(restored_last["w"]), [4.0, 4.0])
+    assert {e["epoch"] for e in mgr._index} == {1, 3}
