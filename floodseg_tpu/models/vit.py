@@ -44,6 +44,12 @@ class Attention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision="highest") * (hd ** -0.5)
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        # retrievable with apply(..., mutable=["intermediates"]) — the
+        # TPU-native form of get_attention_map_enc/dec hooks
+        # (segm/model/{vit.py:149,decoder.py:104}); no-op otherwise.
+        # skipped during init so the collection never enters the variables
+        if not self.is_initializing():
+            self.sow("intermediates", "attn", attn)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         y = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision="highest")
         y = y.transpose(0, 2, 1, 3).reshape(b, n, d)

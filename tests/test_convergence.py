@@ -1,0 +1,57 @@
+"""Convergence regression gate.
+
+The reference has no unit tests; its quality control is empirical — held-out
+video mIoU (SURVEY §4). This is the hermetic equivalent: a short supervised
+fit on the synthetic dataset must reach a val mIoU floor, catching
+optimizer/BN/loss/transform regressions that shape-level tests cannot.
+
+Calibration (round 2, CPU float32): best val mIoU 0.507 by epoch ~25
+(75 steps), test-on-best-checkpoint 0.493, fit ~5.5 min. Thresholds sit
+well below the measured values but far above the ~0.12 mIoU a
+background-dominated collapse produces.
+"""
+
+import os
+
+import pytest
+import yaml
+
+from floodseg_tpu.data.synthetic import generate_synthetic_dataset
+
+
+@pytest.mark.slow
+def test_supervised_fit_converges(tmp_path):
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    root = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_frames=30, frame_delta=5,
+        size=(96, 128), num_labeled=20)
+    cfg = {
+        "method": "supervised",
+        "trainer": {"max_epochs": 30, "seed": 1,
+                    "log_dir": str(tmp_path / "logs"), "run_name": "conv",
+                    "num_devices": 1, "early_stopping_patience": 1000},
+        "model": {"arch": "pspnet", "layers": 50, "classes": 5,
+                  "test_base_size": 128, "optim": {"lr": 0.01},
+                  "loss": {"min_kept": 200}, "pretrained": False,
+                  "save_video": False, "save_images": False},
+        "data": {"data_root": root, "data_variant": "all", "batch_size": 4,
+                 "train_w": 65, "workers": 2, "resize_h": 96, "resize_w": 128,
+                 "scale_min": 0.8, "scale_max": 1.2, "frame_delta": 5,
+                 "predict_v_id": "synth"},
+    }
+    path = tmp_path / "conv.yaml"
+    path.write_text(yaml.dump(cfg))
+
+    runner = Runner(load_config([str(path)], {}))
+    state = runner.fit()
+    best = runner.logger.summary.get("best_val_miou", 0.0)
+    assert best >= 0.40, (
+        f"supervised fit failed to converge: best val mIoU {best:.3f} < 0.40 "
+        f"(calibrated healthy value ~0.51)")
+
+    # after-fit evaluation on the BEST checkpoint must hold the level too
+    state = runner.restore_best(state)
+    results = runner.test(state)
+    assert results["test_miou1_epoch"] >= 0.35, results["test_miou1_epoch"]
