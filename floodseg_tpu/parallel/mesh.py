@@ -113,6 +113,6 @@ def make_dp_predict_fn(predict_fn: Callable, mesh: Mesh,
         per_chip, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(None, axis), P(None, axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,  # jax>=0.9 name for check_rep
     )
     return jax.jit(sharded)

@@ -116,8 +116,20 @@ def contra_memobank_loss(
     raw_label_l: jnp.ndarray,      # (Bl, H, W) int (for label_l[:, i] == 0)
     bank: MemoryBank,
     cfg: ContrastiveConfig,
-) -> Tuple[MemoryBank, jnp.ndarray]:
-    """Fixed-shape compute_contra_memobank_loss (loss_helper.py:66-251)."""
+    prototype: Optional[jnp.ndarray] = None,  # (C, D) momentum prototypes
+    i_iter: Optional[jnp.ndarray] = None,
+):
+    """Fixed-shape compute_contra_memobank_loss (loss_helper.py:66-251).
+
+    With ``prototype`` (the momentum_prototype variant, loss_helper.py:79,
+    225-234 — present in the reference API but never passed by its trainer),
+    the positive feature is EMA-blended with the per-class prototype at
+    ``min(1 - 1/i_iter, 0.999)`` decay and the updated prototypes are
+    returned first: (new_prototype, bank, loss). The reference stores
+    (num_queries, 1, D) identical rows per class; a (C, D) vector is the
+    same information. Like the reference, the returned tensor is rebuilt
+    from zeros each call — only classes with anchors this step carry values.
+    Returns (bank, loss) when ``prototype`` is None."""
     num_classes = prob_l.shape[-1]
     d = rep_all.shape[-1]
     label_oh = jnp.concatenate([label_l_oh, label_u_oh], axis=0)
@@ -131,6 +143,7 @@ def contra_memobank_loss(
     loss_terms = []
     class_valid = []
     anchor_gates = []
+    new_protos = []
     rngs = jax.random.split(rng, num_classes * 3).reshape(num_classes, 3, -1)
 
     for c in range(num_classes):
@@ -171,7 +184,16 @@ def contra_memobank_loss(
         negs = sample_negatives(rngs[c, 2], bank, c,
                                 cfg.num_queries * cfg.num_negatives)
         negs = negs.reshape(cfg.num_queries, cfg.num_negatives, d)
-        proto_rep = jnp.broadcast_to(proto, (cfg.num_queries, 1, d))
+        pos = proto
+        if prototype is not None:
+            # EMA blend with the momentum prototype unless it is still the
+            # all-zero init (loss_helper.py:225-233)
+            ema = jnp.minimum(1.0 - 1.0 / jnp.maximum(
+                i_iter.astype(jnp.float32), 1.0), 0.999)
+            blended = (1.0 - ema) * proto + ema * prototype[c]
+            pos = jnp.where(jnp.all(prototype == 0), proto, blended)
+            new_protos.append(pos)
+        proto_rep = jnp.broadcast_to(pos, (cfg.num_queries, 1, d))
         allf = jnp.concatenate([proto_rep, negs], axis=1)  # (Q, 1+N, D)
 
         def cos(a, b):
@@ -195,6 +217,12 @@ def contra_memobank_loss(
     loss = jnp.sum(gated) / jnp.maximum(valid_seg, 1.0)
     # rare-minibatch bail-out: <= 1 valid class -> zero loss (:173-178)
     loss = jnp.where(valid_seg <= 1, 0.0, loss)
+    if prototype is not None:
+        # rows update only for anchor-bearing classes; zeros elsewhere
+        # (the reference rebuilds `prototype` from zeros, :185-186, 234)
+        gates = jnp.stack(anchor_gates)[:, None].astype(jnp.float32)
+        new_prototype = jnp.stack(new_protos) * gates
+        return new_prototype, bank, loss
     return bank, loss
 
 

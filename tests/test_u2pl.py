@@ -174,3 +174,53 @@ def test_u2pl_semi_step_smoke():
     t0 = np.asarray(jax.tree.leaves(state.teacher_params)[0])
     s0 = np.asarray(jax.tree.leaves(state.student.params)[0])
     assert not np.allclose(t0, s0)
+
+
+def test_contra_momentum_prototype_variant():
+    """momentum_prototype codepath (loss_helper.py:79,225-234): zero-init
+    prototypes leave the loss unchanged; non-zero prototypes EMA-blend the
+    positives and change it; returned rows are zero for anchor-less classes."""
+    from floodseg_tpu.train.contrastive import (
+        ContrastiveConfig, contra_memobank_loss,
+    )
+    from floodseg_tpu.train.memory_bank import create_memory_bank, enqueue
+
+    C, D, H, W = 4, 16, 8, 8
+    cfg = ContrastiveConfig(num_queries=8, num_negatives=4, max_enqueue=16,
+                            low_rank=3, high_rank=4,
+                            current_class_threshold=0.0,
+                            current_class_negative_threshold=1.0)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    rep = jnp.asarray(rng.standard_normal((2, H, W, D)), jnp.float32)
+    rep_t = jnp.asarray(rng.standard_normal((2, H, W, D)), jnp.float32)
+    lab_l = jnp.asarray(rng.integers(0, C, (1, H, W)), jnp.int32)
+    lab_u = jnp.asarray(rng.integers(0, C, (1, H, W)), jnp.int32)
+    oh = lambda l: jax.nn.one_hot(l, C)
+    prob = jnp.asarray(jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32), -1))
+    ones = jnp.ones((2, H, W, 1), jnp.float32)
+
+    bank = create_memory_bank(C, dim=D, capacity=64, class0_capacity=64)
+    for c in range(C):
+        bank = enqueue(bank, c,
+                       jnp.asarray(rng.standard_normal((8, D)), jnp.float32),
+                       jnp.ones((8,), bool))
+
+    args = (rep, rep_t, oh(lab_l), oh(lab_u), prob[:1], prob[1:],
+            ones, ones, lab_l, bank, cfg)
+    _, loss_plain = contra_memobank_loss(key, *args)
+
+    proto0 = jnp.zeros((C, D), jnp.float32)
+    new_proto, _, loss_zero = contra_memobank_loss(
+        key, *args, prototype=proto0, i_iter=jnp.int32(5))
+    # all-zero prototype: no blending, identical loss
+    np.testing.assert_allclose(float(loss_zero), float(loss_plain), rtol=1e-6)
+    assert new_proto.shape == (C, D)
+    assert float(jnp.abs(new_proto).sum()) > 0
+
+    # a non-zero prototype shifts the positives -> different loss
+    _, _, loss_ema = contra_memobank_loss(
+        key, *args, prototype=new_proto + 1.0, i_iter=jnp.int32(5))
+    assert abs(float(loss_ema) - float(loss_plain)) > 1e-6
