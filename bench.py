@@ -107,7 +107,8 @@ def main():
     variables = jax.device_put(variables)
 
     bh, bw = 512 // 16, 512 // 16
-    base_fn = make_flow_predict_fn(
+    from floodseg_tpu.train.flow import make_cached_flow_predict_fn
+    base_full, base_cached = make_cached_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
         out_size=(SIZE, SIZE), default_grid=default_grid(bh * 16, bw * 16),
     )
@@ -115,23 +116,37 @@ def main():
     mean = jnp.asarray(MEAN, jnp.float32)
     std = jnp.asarray(STD, jnp.float32)
 
+    def norm(x):
+        return (x.astype(jnp.float32) - mean) / std
+
     @jax.jit
-    def predict_fn(variables, fp, fn_, ml, mr):
-        fp = (fp.astype(jnp.float32) - mean) / std
-        fn_ = (fn_.astype(jnp.float32) - mean) / std
-        return base_fn(variables, fp, fn_, ml, mr)  # inner jit inlines
+    def full_fn(variables, fp, fn_, ml, mr):
+        return base_full(variables, norm(fp), norm(fn_), ml, mr)
+
+    @jax.jit
+    def cached_fn(variables, feat, fn_, ml, mr):
+        return base_cached(variables, feat, norm(fn_), ml, mr)
 
     batches = list(loader)
     log(f"{len(batches)} clips of {FRAME_DELTA} frames")
+    # key-feature reuse across CONSECUTIVE windows (frame_id-checked):
+    # window k's next key is window k+1's prev key — one encode per clip
+    fids = [int(np.asarray(b["frame_id"])[0]) for b in batches]
+    assert all(b - a == FRAME_DELTA for a, b in zip(fids, fids[1:])), fids
 
-    def run(batch):
-        return predict_fn(
-            variables,
-            batch["frame_prev"],
-            batch["frame_next"],
-            batch["mvs_left"],
-            batch["mvs_right"],
-        )
+    state = {"feat": None}
+
+    def run(batch, first=False):
+        if first or state["feat"] is None:
+            out, feat = full_fn(variables, batch["frame_prev"],
+                                batch["frame_next"], batch["mvs_left"],
+                                batch["mvs_right"])
+        else:
+            out, feat = cached_fn(variables, state["feat"],
+                                  batch["frame_next"], batch["mvs_left"],
+                                  batch["mvs_right"])
+        state["feat"] = feat
+        return out
 
     def force(o):
         # a scalar readback is the only reliable execution barrier over the
@@ -140,8 +155,12 @@ def main():
         return int(jnp.sum(o))
 
     t0 = time.perf_counter()
-    out = run(batches[0])
+    out = run(batches[0], first=True)
     force(out)
+    # warm the cached program too, then restore the cache to batches[0]'s
+    # next-key features so the timed region starts with the CORRECT feat
+    force(run(batches[1]))
+    force(run(batches[0], first=True))
     log(f"compile+first clip: {time.perf_counter() - t0:.1f}s, out {out.shape} {out.dtype}")
 
     # timed clips

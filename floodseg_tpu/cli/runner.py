@@ -637,6 +637,16 @@ class Runner:
             feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
             out_size=(cfg.data.resize_h, cfg.data.resize_w),
             default_grid=ds.default_grid)
+        cached_fns = None
+        if self.mesh is None:
+            # sequential single-chip video: reuse each window's next-key
+            # encoding as the following window's prev-key (identical outputs)
+            cached_fns = flow_mod.make_cached_flow_predict_fn(
+                self.model, n=cfg.data.frame_delta,
+                feature_based=cfg.model.feature_based,
+                no_warp=cfg.model.no_warp,
+                out_size=(cfg.data.resize_h, cfg.data.resize_w),
+                default_grid=ds.default_grid)
         if self.mesh is not None:
             # clip-parallel inference: one key-frame window per chip
             # (shard_map over ICI; the reference predicts on a single GPU)
@@ -665,6 +675,7 @@ class Runner:
                                     f"{cfg.data.predict_v_id}.avi")
             if cfg.model.save_video else None,
             compute_metrics=cfg.model.compute_metrics,
+            cached_fns=cached_fns,
         )
         self.logger.update_summary(summary)
         return summary

@@ -184,6 +184,48 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
     return predict_fn
 
 
+def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
+                                no_warp: bool = False,
+                                out_size: Tuple[int, int] = (1072, 1920),
+                                default_grid: Optional[np.ndarray] = None):
+    """(full_fn, cached_fn) for sequential-video prediction with key-feature
+    reuse: consecutive windows share a key frame, so the previous window's
+    encoded next key replaces one of the two encoder passes — numerically
+    identical outputs (eval-mode BN), ~half the encoder FLOPs per clip.
+
+    full_fn(variables, fp, fn, ml, mr)        -> (maps, f_next_enc)
+    cached_fn(variables, f_prev_enc, fn, ml, mr) -> (maps, f_next_enc)
+    """
+    dg = None if default_grid is None else jnp.asarray(default_grid)
+
+    def _interp(variables):
+        return FlowInterpolator(
+            encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
+            decode=lambda f: model.apply(variables, f, train=False, method="decode"),
+            feature_based=feature_based,
+            no_warp=no_warp,
+        )
+
+    @jax.jit
+    def full_fn(variables, frame_prev, frame_next, mvs_left, mvs_right):
+        logits, f_next = _interp(variables).predict_clip(
+            frame_prev, frame_next, mvs_left, mvs_right, n,
+            default_grid=dg, out_size=out_size, return_next_enc=True,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), f_next
+
+    @jax.jit
+    def cached_fn(variables, f_prev_enc, frame_next, mvs_left, mvs_right):
+        logits, f_next = _interp(variables).predict_clip(
+            None, frame_next, mvs_left, mvs_right, n,
+            default_grid=dg, out_size=out_size, f_prev_enc=f_prev_enc,
+            return_next_enc=True,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), f_next
+
+    return full_fn, cached_fn
+
+
 def make_flow_test_crop_fn(model, num_classes: int, feature_based: bool = True,
                            no_warp: bool = False) -> Callable:
     """Batched crop forward for the flow sliding-window test

@@ -65,16 +65,24 @@ def run_predict(
     fps: int = 25,
     compute_metrics: bool = True,
     profiler: Optional[PhaseProfiler] = None,
+    cached_fns=None,
 ) -> Dict:
     """Drive ``predict_fn`` over clip batches from ``loader``.
 
     predict_fn(variables, frame_prev, frame_next, mvs_left, mvs_right) ->
     (n, H, W) int class maps. Returns summary dict with temporal-consistency
     metrics and timing.
+
+    ``cached_fns``: optional (full_fn, cached_fn) pair from
+    make_cached_flow_predict_fn — enables key-feature reuse across
+    CONSECUTIVE single-clip batches (verified via frame_id continuity);
+    falls back to full encodes whenever continuity breaks.
     """
     import jax
 
     profiler = profiler or PhaseProfiler()
+    cache_feat = None
+    expect_fid = None
     meter = MetricMeter(num_classes)
     last_output = None
     writer = None
@@ -90,9 +98,26 @@ def run_predict(
         fn = jnp.asarray(batch["frame_next"])
         ml = jnp.asarray(batch["mvs_left"])
         mr = jnp.asarray(batch["mvs_right"])
-        with profiler.profile("predict_interference"):
-            out = predict_fn(variables, fp, fn, ml, mr)
-            out = jax.block_until_ready(out)
+        fid = (int(np.asarray(batch["frame_id"])[0])
+               if "frame_id" in batch else None)
+        if cached_fns is not None and fp.shape[0] == 1:
+            full_fn, cached_fn = cached_fns
+            with profiler.profile("predict_interference"):
+                if cache_feat is not None and fid is not None \
+                        and fid == expect_fid:
+                    out, cache_feat = cached_fn(variables, cache_feat,
+                                                fn, ml, mr)
+                else:
+                    out, cache_feat = full_fn(variables, fp, fn, ml, mr)
+                out = jax.block_until_ready(out)
+            if fid is None:
+                cache_feat = None  # no ids -> continuity unverifiable
+            else:
+                expect_fid = fid + int(out.shape[0])
+        else:
+            with profiler.profile("predict_interference"):
+                out = predict_fn(variables, fp, fn, ml, mr)
+                out = jax.block_until_ready(out)
         out_np = np.asarray(out).astype(np.uint8)
         n = out_np.shape[0]
         frames_done += n

@@ -176,6 +176,8 @@ class FlowInterpolator:
         n: int,
         default_grid: Optional[jnp.ndarray] = None,
         out_size: Optional[tuple] = None,
+        f_prev_enc: Optional[jnp.ndarray] = None,
+        return_next_enc: bool = False,
     ) -> jnp.ndarray:
         """Segment all ``n`` frames of a keyframe window in one program.
 
@@ -188,8 +190,16 @@ class FlowInterpolator:
         map additionally resampled once through the identity ``default_grid``
         (align_corners=True, flow/model.py:154-159) so frame 0 sees the same
         block-quantization blur as the interpolated frames.
+
+        Key-feature reuse (TPU addition, numerically identical): consecutive
+        windows share a key frame — window k's next key IS window k+1's prev
+        key. Pass the previous window's returned encoding as ``f_prev_enc``
+        to skip re-encoding it; ``return_next_enc`` additionally returns the
+        RAW (pre-identity-grid) encoding of frame_next for the next window.
+        Eval-mode BN is batch-invariant, so cached and fresh paths match.
         """
-        h, w = frame_prev.shape[1], frame_prev.shape[2]
+        ref_frame = frame_prev if frame_prev is not None else frame_next
+        h, w = ref_frame.shape[1], ref_frame.shape[2]
         out_size = out_size or (h, w)
         single = frame_next is None
 
@@ -208,12 +218,17 @@ class FlowInterpolator:
             dec = lambda x: x  # noqa: E731
 
         if single:
-            f = enc(frame_prev)
+            f = f_prev_enc if f_prev_enc is not None else enc(frame_prev)
+            f_next = None
+        elif f_prev_enc is not None:
+            f = f_prev_enc
+            f_next = enc(frame_next)
         else:
             # both key frames in ONE batched encoder call (eval-mode BN is
             # batch-invariant, so this is numerically identical to two calls)
             f_both = enc(jnp.concatenate([frame_prev, frame_next], axis=0))
             f, f_next = f_both[:1], f_both[1:]
+        f_next_raw = f_next
         fh, fw = f.shape[1], f.shape[2]
 
         maps = []
@@ -256,4 +271,6 @@ class FlowInterpolator:
         out = dec(stack)  # single batched decode (flow/model.py:176-179)
         if out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
             out = resize_bilinear(out, out_size, align_corners=True)
+        if return_next_enc:
+            return out, f_next_raw
         return out

@@ -115,3 +115,47 @@ def test_flow_sliding_window_test(synth_root, model_and_state):
                                     crop_h=65, crop_w=65)
     assert pred.shape == (96, 128)
     assert pred.min() >= 0 and pred.max() < 5
+
+
+@pytest.mark.slow
+def test_cached_predict_matches_full(synth_root, model_and_state):
+    """Key-feature reuse across consecutive windows is bit-identical to
+    fresh per-window encoding (eval-mode BN is batch-invariant)."""
+    from floodseg_tpu.train.flow import make_cached_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid as make_default_grid
+
+    model, state = model_and_state
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = FlowDataset("predict", synth_root, type="u",
+                     transform=build_test_transform(resize=(96, 128),
+                                                    normalize=True),
+                     frame_delta=DELTA, predict_v_id="synth")
+    loader = DataLoader(ds, batch_size=1, num_workers=1)
+    batches = list(loader)[:3]
+
+    dg = ds.default_grid
+    plain = make_flow_predict_fn(model, n=DELTA, out_size=(96, 128),
+                                 default_grid=dg)
+    full_fn, cached_fn = make_cached_flow_predict_fn(
+        model, n=DELTA, out_size=(96, 128), default_grid=dg)
+
+    feat = None
+    for i, b in enumerate(batches):
+        fp, fn_ = jnp.asarray(b["frame_prev"]), jnp.asarray(b["frame_next"])
+        ml, mr = jnp.asarray(b["mvs_left"]), jnp.asarray(b["mvs_right"])
+        want = np.asarray(plain(variables, fp, fn_, ml, mr))
+        if i == 0:
+            got, feat = full_fn(variables, fp, fn_, ml, mr)
+        else:
+            got, feat = cached_fn(variables, feat, fn_, ml, mr)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    # run_predict with cached_fns reports identical metrics to plain
+    loader1 = DataLoader(ds, batch_size=1, num_workers=1)
+    loader2 = DataLoader(ds, batch_size=1, num_workers=1)
+    s_plain = run_predict(plain, variables, loader1, num_classes=5)
+    s_cached = run_predict(plain, variables, loader2, num_classes=5,
+                           cached_fns=(full_fn, cached_fn))
+    assert s_plain["frames"] == s_cached["frames"]
+    np.testing.assert_allclose(s_plain["predict_miou1_epoch"],
+                               s_cached["predict_miou1_epoch"], rtol=0)
