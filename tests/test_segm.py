@@ -141,3 +141,41 @@ def test_segm_train_cli_smoke(seg_root, tmp_path):
 
     # resume picks up after the last epoch without error
     assert main(argv + ["--epochs", "3"]) == 0
+
+
+def test_prepare_cityscapes_conversion(tmp_path):
+    """labelIds -> 19 trainIds conversion + flattened folder layout."""
+    import subprocess
+    import sys
+    from PIL import Image as PILImage
+
+    src = tmp_path / "cs"
+    for city in ("aaa", "bbb"):
+        (src / "leftImg8bit" / "train" / city).mkdir(parents=True)
+        (src / "gtFine" / "train" / city).mkdir(parents=True)
+        (src / "leftImg8bit" / "val" / city).mkdir(parents=True)
+        (src / "gtFine" / "val" / city).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    ids = np.zeros((32, 32), np.uint8)
+    ids[:16] = 7    # road -> trainId 0
+    ids[16:] = 26   # car  -> trainId 13
+    ids[0, 0] = 3   # unlabeled-ish id -> 255
+    PILImage.fromarray(img).save(
+        src / "leftImg8bit" / "train" / "aaa" / "x_00_leftImg8bit.png")
+    PILImage.fromarray(ids).save(
+        src / "gtFine" / "train" / "aaa" / "x_00_gtFine_labelIds.png")
+
+    dst = tmp_path / "out"
+    out = subprocess.run(
+        [sys.executable, "scripts/prepare_seg_dataset.py", "cityscapes",
+         str(src), str(dst)], capture_output=True, text=True,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    lab = np.asarray(PILImage.open(
+        dst / "annotations" / "train" / "x_00.png"))
+    assert lab[0, 1] == 0 and lab[20, 0] == 13 and lab[0, 0] == 255
+    ds = SegFolderDataset(str(dst / "images" / "train"),
+                          str(dst / "annotations" / "train"),
+                          img_suffix=".png")
+    assert len(ds) == 1

@@ -51,3 +51,19 @@ def test_build_lists(tmp_path):
     assert lists["train_u"][0][0] == "invalid"
     assert os.path.exists(f"{root}/list/all/train.txt")
     assert abs(sum(dist) - 1.0) < 1e-6
+
+
+def test_sweep_dry_run_expands_grid():
+    """sweep.py expands discrete grids into fit commands (reference
+    train_agent.sh + experiments/*.yaml W&B sweeps)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/sweep.py", "experiments/frame_delta.yaml",
+         "--dry_run", "--", "--config", "configs/train_base.yaml"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    lines = [l for l in out.stdout.splitlines() if "cli.main fit" in l]
+    assert len(lines) == 6  # frame_delta values [2,5,10,15,20,25]
+    assert "--data.frame_delta 25" in lines[-1]
