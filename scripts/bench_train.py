@@ -56,6 +56,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the input state buffers (halves live HBM "
+                        "for params/opt state)")
     args = p.parse_args()
 
     from floodseg_tpu.models import build_model, S4GANDiscriminator
@@ -80,14 +83,17 @@ def main():
     loss_fn = sup.make_loss_fn("ohem", 0.4 if args.method != "flow_supervised" else 0.0,
                                ohem_min_kept=100000)
 
+    dn = (0,) if args.donate else ()
+    dn2 = (0, 1) if args.donate else ()
     if args.method == "supervised":
         state = create_train_state(model, key, sample, tx)
-        step = jax.jit(sup.make_train_step(model, loss_fn, 5))
+        step = jax.jit(sup.make_train_step(model, loss_fn, 5),
+                       donate_argnums=dn)
         run = lambda s, b, r: step(s, b, r)
     elif args.method == "flow_supervised":
         state = create_train_state(model, key, sample, tx)
         interp, _ = flow_mod.make_flow_train_step(model, loss_fn, 5)
-        step = jax.jit(interp)
+        step = jax.jit(interp, donate_argnums=dn)
         run = lambda s, b, r: step(s, b, r)
     elif args.method in ("gan", "flow_gan"):
         model_d = S4GANDiscriminator(5, dtype=dtype)
@@ -98,7 +104,8 @@ def main():
                                 jnp.zeros((args.batch, hw, hw, 8), jnp.float32), tx_d)
         g_fwd = (gan_mod.flow_g_forward(model) if args.method == "flow_gan"
                  else gan_mod.single_frame_g_forward(model))
-        gstep = jax.jit(gan_mod.make_gan_train_step(g_fwd, model_d, 5))
+        gstep = jax.jit(gan_mod.make_gan_train_step(g_fwd, model_d, 5),
+                        donate_argnums=dn2)
         state = (sg, sd)
         run = lambda s, b, r: gstep(s[0], s[1], b, r)[:2] + (None,)
 
@@ -109,7 +116,7 @@ def main():
         cfg = u2pl_mod.ContrastiveConfig(num_devices=1)
         state = u2pl_mod.create_u2pl_state(model, key, sample, tx)
         _, semi = u2pl_mod.make_u2pl_steps(model, 5, cfg)
-        semi = jax.jit(semi)
+        semi = jax.jit(semi, donate_argnums=dn)
         run = lambda s, b, r: semi(s, b, r, jnp.float32(0.5), jnp.int32(100))
 
     t0 = time.perf_counter()

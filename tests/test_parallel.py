@@ -103,3 +103,63 @@ def test_dp_predict_matches_single_chip():
     for i in (0, 3, 7):
         ref = pf(vs, fp[i][None], fn_[i][None], ml[:, i][:, None], mr[:, i][:, None])
         np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_sharded_u2pl_semi_step_matches_single_device():
+    """The full U2PL semi step — teacher forwards, pseudo-labels, cutmix,
+    CONTRASTIVE loss and memory-bank enqueue — is identical under batch
+    sharding (the sharded-jit form of the reference's DDP + all_gather
+    memory-bank keys, u2pl/utils/utils.py:16-33)."""
+    from floodseg_tpu.models import build_model
+    from floodseg_tpu.train.contrastive import (
+        ContrastiveConfig, create_u2pl_state, sync_teacher, make_u2pl_steps,
+    )
+    from floodseg_tpu.parallel.mesh import sharded_jit, shard_batch
+
+    n = 4
+    mesh = create_mesh(("data",), devices=jax.devices()[:n])
+    model = build_model("pspnet", classes=5, layers=50, semisupervised=True)
+    from floodseg_tpu.train.optim import make_optimizer
+    tx = make_optimizer(base_lr=1e-4, max_iter=20)
+    key = jax.random.PRNGKey(0)
+    state = create_u2pl_state(model, key, jnp.zeros((n, 33, 33, 3)), tx,
+                              bank_capacity=256, bank_class0_capacity=512)
+    state = sync_teacher(state)
+
+    # num_devices=1 in BOTH runs: isolates sharding effects from the
+    # intentional /world_size loss scale (tested elsewhere)
+    cfg = ContrastiveConfig(num_queries=16, num_negatives=4, max_enqueue=32,
+                            num_devices=1)
+    _, semi_step = make_u2pl_steps(model, 5, cfg, ohem_min_kept=200)
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "l": {"frame_current": rng.standard_normal((n, 33, 33, 3)).astype(np.float32),
+              "label": rng.integers(0, 5, (n, 33, 33)).astype(np.int32)},
+        "u": {"frame_current": rng.standard_normal((n, 33, 33, 3)).astype(np.float32)},
+    }
+    k = jax.random.fold_in(key, 1)
+    args = (jnp.float32(0.1), jnp.int32(3))
+
+    jb = {kk: {k2: jnp.asarray(v2) for k2, v2 in vv.items()}
+          for kk, vv in batch_np.items()}
+    s1, m1 = jax.jit(semi_step)(state, jb, k, *args)
+
+    sb = {kk: shard_batch(vv, mesh) for kk, vv in batch_np.items()}
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    s8, m8 = sharded_jit(semi_step, mesh)(state_r, sb, k, *args)
+
+    for name in ("loss", "sup_loss", "unsup_loss", "contra_loss"):
+        assert abs(float(m1[name]) - float(m8[name])) < 2e-4, (
+            name, float(m1[name]), float(m8[name]))
+    np.testing.assert_array_equal(np.asarray(s1.bank.counts),
+                                  np.asarray(s8.bank.counts))
+    p1 = jax.tree.leaves(s1.student.params)[0]
+    p8 = jax.tree.leaves(s8.student.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                               rtol=1e-4, atol=1e-5)
+    t1 = jax.tree.leaves(s1.teacher_params)[0]
+    t8 = jax.tree.leaves(s8.teacher_params)[0]
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t8),
+                               rtol=1e-4, atol=1e-5)
