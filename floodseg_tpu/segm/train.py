@@ -88,6 +88,10 @@ def main(argv=None):
         args.img_dir, args.ann_dir, args.img_suffix, args.ann_suffix,
         transform=build_train_pipeline(args.im_size, crop),
         reduce_zero_label=args.reduce_zero_label)
+    if global_batch > len(train_ds):
+        raise SystemExit(
+            f"global batch {global_batch} ({args.batch_size} x {n_dev} "
+            f"devices) exceeds the train set ({len(train_ds)})")
     loader = DataLoader(train_ds, batch_size=global_batch, shuffle=True,
                         num_workers=args.workers, seed=args.seed,
                         infinite=True, drop_last=True)
