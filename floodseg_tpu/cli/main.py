@@ -1,4 +1,4 @@
-"""CLI: ``python -m floodseg_tpu.cli.main {fit,test,predict} [--config X.yaml]...
+"""CLI: ``python -m floodseg_tpu.cli.main {fit,validate,test,predict} [--config X.yaml]...
 [--model.arch vit] [--data.batch_size 4] ...``
 
 Mirrors the reference entry points (supervised.py / gan.py / contrastive.py /
@@ -19,7 +19,7 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(prog="floodseg_tpu")
-    p.add_argument("subcommand", choices=["fit", "test", "predict"])
+    p.add_argument("subcommand", choices=["fit", "validate", "test", "predict"])
     p.add_argument("--config", action="append", default=[],
                    help="YAML config (repeatable; later files win)")
     p.add_argument("--method", default=None,
@@ -84,9 +84,12 @@ def main(argv=None):
         runner.logger.close()
         return 0
 
-    # test / predict need a checkpoint
+    # validate / test / predict need a checkpoint
     state = runner.load_for_eval(cfg.ckpt_path)
-    if args.subcommand == "test":
+    if args.subcommand == "validate":
+        results = runner.validate(state)
+        print("validate:", results)
+    elif args.subcommand == "test":
         results = runner.test(state)
         print("test:", {k: v for k, v in results.items()
                         if not isinstance(v, list)})

@@ -558,6 +558,30 @@ class Runner:
     # test / predict
     # ------------------------------------------------------------------
 
+    def validate(self, state=None) -> Dict:
+        """One pass over the val split (the LightningCLI ``validate``
+        subcommand, inherited by the reference — base/cli.py:198 wires
+        after_validate like after_fit)."""
+        cfg = self.cfg
+        state = state if state is not None else self._state
+        _, _, eval_fn = self._build_states_and_steps(max_iter=1)
+        tf = self._transforms()
+        val_ds = self._dataset("val", "val.txt", "l", tf["val"])
+        loader = self._loader(val_ds, cfg.data.batch_size_val)
+        meter = MetricMeter(self.num_classes)
+        for bi, batch in enumerate(loader):
+            if cfg.trainer.limit_val_batches and bi >= cfg.trainer.limit_val_batches:
+                break
+            # past-warmup epoch: contrastive eval serves the teacher
+            m = eval_fn(state, _jnp_batch(batch), cfg.trainer.max_epochs)
+            meter.update(m["intersection"], m["union"], m["target"])
+        s = meter.summary()
+        results = {"val_miou_epoch": s["miou"],
+                   "val_macc_epoch": s["macc"],
+                   "val_accuracy_epoch": s["allacc"]}
+        self.logger.update_summary(results)
+        return results
+
     def test(self, state=None) -> Dict:
         cfg = self.cfg
         state = state if state is not None else self._state

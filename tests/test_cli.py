@@ -100,6 +100,12 @@ def test_test_subcommand_restores_checkpoint(tmp_path, synth_root):
     rc = _run(["test", "--config", path,
                "--ckpt_path", str(log_dir / "checkpoints" / "last")])
     assert rc == 0
+    # the LightningCLI-inherited validate subcommand (base/cli.py:198)
+    rc = _run(["validate", "--config", path,
+               "--ckpt_path", str(log_dir / "checkpoints" / "last")])
+    assert rc == 0
+    metrics = json.loads((log_dir / "metrics.json").read_text())
+    assert "val_miou_epoch" in metrics
 
 
 @pytest.mark.slow
