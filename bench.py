@@ -129,10 +129,12 @@ def main():
 
     batches = list(loader)
     log(f"{len(batches)} clips of {FRAME_DELTA} frames")
-    # key-feature reuse across CONSECUTIVE windows (frame_id-checked):
-    # window k's next key is window k+1's prev key — one encode per clip
-    fids = [int(np.asarray(b["frame_id"])[0]) for b in batches]
-    assert all(b - a == FRAME_DELTA for a, b in zip(fids, fids[1:])), fids
+    # key-feature reuse across CONSECUTIVE windows: window k's RESOLVED next
+    # key must be window k+1's resolved prev key — one encode per clip
+    assert all(
+        int(np.asarray(b1["next_frame_id"])[0])
+        == int(np.asarray(b2["prev_frame_id"])[0])
+        for b1, b2 in zip(batches, batches[1:]))
 
     state = {"feat": None}
 

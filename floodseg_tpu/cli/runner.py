@@ -535,7 +535,8 @@ class Runner:
     def load_for_eval(self, ckpt_path: Optional[str] = None):
         """Build a fresh state structure and restore a checkpoint into it
         (reference: test.sh/predict.sh load logs/<run>/last.ckpt)."""
-        state, _, _ = self._build_states_and_steps(max_iter=1)
+        state, _, eval_fn = self._build_states_and_steps(max_iter=1)
+        self._eval_fn = eval_fn
         path = ckpt_path or self.ckpt.last_path or self.ckpt.best_path
         if path is None:
             print("[runner] no checkpoint found — evaluating fresh init")
@@ -564,7 +565,10 @@ class Runner:
         after_validate like after_fit)."""
         cfg = self.cfg
         state = state if state is not None else self._state
-        _, _, eval_fn = self._build_states_and_steps(max_iter=1)
+        eval_fn = getattr(self, "_eval_fn", None)
+        if eval_fn is None:  # not via load_for_eval: build (and cache) it
+            _, _, eval_fn = self._build_states_and_steps(max_iter=1)
+            self._eval_fn = eval_fn
         tf = self._transforms()
         val_ds = self._dataset("val", "val.txt", "l", tf["val"])
         loader = self._loader(val_ds, cfg.data.batch_size_val)

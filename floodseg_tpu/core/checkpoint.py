@@ -4,6 +4,13 @@ Reference semantics (base/cli.py:138-148): save every epoch, keep the top 5
 by val_miou_epoch plus "last"; filenames carry epoch + metric; after_run
 re-evaluates the best checkpoint. Full train state (params + BN stats +
 optimizer state + step) round-trips.
+
+Saves are ASYNC (orbax finishes the device-to-host copy before returning;
+the disk write overlaps the next epoch). Crash safety: "last" is a
+versioned ``last-{epoch}`` directory — orbax finalizes atomically (tmp dir
++ rename), and the previous epoch's last-* is only removed AFTER the next
+save has drained, so a crash at any instant leaves at least one complete
+last checkpoint on disk.
 """
 
 import json
@@ -16,6 +23,12 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _is_finalized(path: str) -> bool:
+    """True for a completed orbax checkpoint dir (tmp dirs carry an
+    ``.orbax-checkpoint-tmp`` infix until the atomic rename)."""
+    return os.path.isdir(path) and ".orbax-checkpoint-tmp" not in path
+
+
 class CheckpointManager:
     def __init__(self, directory: str, save_top_k: int = 5,
                  monitor: str = "val_miou_epoch", mode: str = "max"):
@@ -25,7 +38,6 @@ class CheckpointManager:
         self.monitor = monitor
         self.mode = mode
         self._index_path = os.path.join(self.directory, "index.json")
-        self._last_meta_path = os.path.join(self.directory, "last_meta.json")
         self._index: List[Dict] = []
         if os.path.exists(self._index_path):
             with open(self._index_path) as f:
@@ -37,29 +49,47 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    def _last_entries(self) -> List[Tuple[int, str]]:
+        """Finalized (epoch, path) last-checkpoints on disk, oldest first."""
+        out = []
+        for f in os.listdir(self.directory):
+            p = self._path(f)
+            if f.startswith("last-") and _is_finalized(p):
+                try:
+                    out.append((int(f[len("last-"):]), p))
+                except ValueError:
+                    continue
+            elif f == "last" and not os.path.islink(p) and _is_finalized(p):
+                out.append((-1, p))  # legacy unversioned "last"
+        return sorted(out)
+
     @property
     def last_path(self) -> Optional[str]:
-        p = self._path("last")
-        return p if os.path.exists(p) else None
+        entries = self._last_entries()
+        return entries[-1][1] if entries else None
 
     @property
     def last_epoch(self) -> Optional[int]:
-        """Epoch of the "last" checkpoint. Tracked in its own meta file: the
-        top-k index prunes by METRIC, so its max epoch can be older than the
-        newest save and must not drive resume."""
-        if os.path.exists(self._last_meta_path):
-            with open(self._last_meta_path) as f:
-                return json.load(f)["epoch"]
-        if self._index:  # legacy checkpoints saved before last_meta existed
+        """Epoch of the newest durable last checkpoint. Derived from what is
+        actually ON DISK (not the metric-pruned top-k index, whose max epoch
+        can be older than the newest save; and not a meta file, which could
+        outrun a crashed async write)."""
+        entries = self._last_entries()
+        if entries and entries[-1][0] >= 0:
+            return entries[-1][0]
+        if self._index:  # legacy layout fallback
             return max(e["epoch"] for e in self._index)
         return None
 
     @property
     def best_path(self) -> Optional[str]:
-        if not self._index:
+        # only entries whose write finalized (a crash can leave index.json
+        # referencing a checkpoint whose tmp dir was never renamed)
+        live = [e for e in self._index if _is_finalized(self._path(e["name"]))]
+        if not live:
             return None
-        best = max(self._index, key=lambda e: e["metric"]) if self.mode == "max" \
-            else min(self._index, key=lambda e: e["metric"])
+        best = max(live, key=lambda e: e["metric"]) if self.mode == "max" \
+            else min(live, key=lambda e: e["metric"])
         return self._path(best["name"])
 
     # ---- save / restore ----
@@ -69,31 +99,47 @@ class CheckpointManager:
         sits at the START of the next save (and in restore/wait), so only
         quiesced directories are ever pruned or re-read."""
         self._ckptr.wait_until_finished()  # drain the previous epoch's writes
+        # previous last-* checkpoints are durable now — drop all but the
+        # newest (it remains the crash fallback until THIS save drains)
+        for _, p in self._last_entries()[:-1]:
+            shutil.rmtree(p)
         metric = float(metrics.get(self.monitor, float("-inf")))
         name = f"epoch={epoch}-{self.monitor}={metric:.4f}"
         # decide retention up-front: skip the named save when it would not
         # survive the top-k prune (one write saved vs write-then-delete)
-        keeps = self.save_top_k < 0 or len(self._index) < self.save_top_k
-        if not keeps:
+        if self.save_top_k == 0:
+            keeps = False
+        elif self.save_top_k < 0 or len(self._index) < self.save_top_k:
+            keeps = True
+        else:
             key = (min if self.mode == "max" else max)
             worst = key(self._index, key=lambda e: e["metric"])["metric"]
             keeps = metric > worst if self.mode == "max" else metric < worst
         if keeps:
             self._ckptr.save(self._path(name), state, force=True)
             self._index.append({"name": name, "epoch": epoch, "metric": metric})
-        last = self._path("last")
-        if os.path.exists(last):
-            shutil.rmtree(last)
-        self._ckptr.save(last, state, force=True)
-        with open(self._last_meta_path, "w") as f:
-            json.dump({"epoch": epoch}, f)
+        self._ckptr.save(self._path(f"last-{epoch}"), state, force=True)
         self._prune()
         with open(self._index_path, "w") as f:
             json.dump(self._index, f, indent=1)
 
     def wait(self):
-        """Block until all in-flight async writes are durable."""
+        """Block until all in-flight async writes are durable, then refresh
+        the convenience ``last`` symlink (the stable path test.sh/predict.sh
+        pass as --ckpt_path) to the newest durable last-{epoch}."""
         self._ckptr.wait_until_finished()
+        entries = self._last_entries()
+        if entries:
+            link = self._path("last")
+            tmp = self._path(".last.tmp")
+            try:
+                if os.path.islink(link) or not os.path.exists(link):
+                    if os.path.lexists(tmp):
+                        os.remove(tmp)
+                    os.symlink(os.path.basename(entries[-1][1]), tmp)
+                    os.replace(tmp, link)
+            except OSError:
+                pass  # symlink-less filesystems: restore() resolves instead
 
     def _prune(self):
         if self.save_top_k < 0:
@@ -109,8 +155,14 @@ class CheckpointManager:
                 self._index.remove(e)
 
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
-        """Restore into the structure of ``target`` (a concrete train state)."""
+        """Restore into the structure of ``target`` (a concrete train state).
+
+        A ``.../last`` path that does not exist on disk resolves to the
+        newest durable ``last-{epoch}`` (test.sh/predict.sh surface)."""
         self._ckptr.wait_until_finished()  # in case a save is in flight
+        if path is not None and not os.path.exists(path) \
+                and os.path.basename(path) == "last":
+            path = self.last_path
         path = path or self.last_path
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")

@@ -233,6 +233,12 @@ class FlowDataset:
             sample["label"] = np.asarray(sample["label"], dtype=np.int32)
         if self.split == "predict":
             sample["frame_id"] = f_index
+            # RESOLVED key ids (post nearest-existing fallback): the predict
+            # key-feature cache must key on these, not on window arithmetic —
+            # a missing shared key resolves DIFFERENTLY for the two windows
+            # (f_next walks down, the next window's f_prev walks up)
+            sample["prev_frame_id"] = f_prev
+            sample["next_frame_id"] = f_next
         sample["left_index"] = delta_l
         sample["right_index"] = delta_r
         return sample
@@ -251,7 +257,8 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
         if k in ("mvs_left", "mvs_right"):
             per = [np.stack(v, axis=0) for v in vals]        # (T, gh, gw, 2)
             out[k] = np.stack(per, axis=1).astype(np.float32)  # (T, B, ...)
-        elif k in ("left_index", "right_index", "frame_id"):
+        elif k in ("left_index", "right_index", "frame_id",
+                   "prev_frame_id", "next_frame_id"):
             out[k] = np.asarray(vals, dtype=np.int32)
         elif k == "label":
             out[k] = np.stack(vals).astype(np.int32)

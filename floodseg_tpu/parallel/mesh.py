@@ -66,7 +66,7 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data",
 
 
 def sharded_jit(fn: Callable, mesh: Mesh, batch_argnums=(1,),
-                donate_argnums=(), axis: str = "data") -> Callable:
+                donate_argnums=()) -> Callable:
     """jit ``fn`` for data parallelism over ``mesh``: every argument except
     the batch args is constrained replicated, batches arrive pre-sharded by
     ``shard_batch``. XLA inserts the gradient all-reduce; BatchNorm moments
@@ -84,12 +84,12 @@ def sharded_jit(fn: Callable, mesh: Mesh, batch_argnums=(1,),
     return jax.jit(constrained, donate_argnums=donate_argnums)
 
 
-def make_sharded_train_step(train_step: Callable, mesh: Mesh,
-                            axis: str = "data") -> Callable:
+def make_sharded_train_step(train_step: Callable, mesh: Mesh) -> Callable:
     """jit ``train_step(state, batch, rng)`` with state replicated and the
-    batch sharded over ``axis`` (XLA adds the gradient all-reduce)."""
+    batch sharded (XLA adds the gradient all-reduce). The batch must be
+    placed with ``shard_batch`` — the axis lives in its shardings."""
     return sharded_jit(train_step, mesh, batch_argnums=(1,),
-                       donate_argnums=(0,), axis=axis)
+                       donate_argnums=(0,))
 
 
 def make_dp_predict_fn(predict_fn: Callable, mesh: Mesh,

@@ -46,6 +46,9 @@ def sliding_inference(
     h, w = image.shape[:2]
     ori_shape = ori_shape or (h, w)
     ws = min(window_size, h, w)
+    # a stride beyond the (possibly shrunken) window would leave uncovered
+    # pixels with count 0 -> NaN probabilities; clamp so windows always tile
+    window_stride = min(window_stride, ws)
 
     variants = [image]
     if flip:

@@ -82,7 +82,7 @@ def run_predict(
 
     profiler = profiler or PhaseProfiler()
     cache_feat = None
-    expect_fid = None
+    cache_key_fid = None  # RESOLVED frame id the cached encoding belongs to
     meter = MetricMeter(num_classes)
     last_output = None
     writer = None
@@ -98,22 +98,27 @@ def run_predict(
         fn = jnp.asarray(batch["frame_next"])
         ml = jnp.asarray(batch["mvs_left"])
         mr = jnp.asarray(batch["mvs_right"])
-        fid = (int(np.asarray(batch["frame_id"])[0])
-               if "frame_id" in batch else None)
+        # cache validity keys on the RESOLVED prev/next frame ids (the
+        # nearest-existing fallback can shift a missing shared key frame in
+        # opposite directions for the two adjacent windows)
+        pfid = (int(np.asarray(batch["prev_frame_id"])[0])
+                if "prev_frame_id" in batch else None)
+        nfid = (int(np.asarray(batch["next_frame_id"])[0])
+                if "next_frame_id" in batch else None)
         if cached_fns is not None and fp.shape[0] == 1:
             full_fn, cached_fn = cached_fns
             with profiler.profile("predict_interference"):
-                if cache_feat is not None and fid is not None \
-                        and fid == expect_fid:
+                if cache_feat is not None and pfid is not None \
+                        and pfid == cache_key_fid:
                     out, cache_feat = cached_fn(variables, cache_feat,
                                                 fn, ml, mr)
                 else:
                     out, cache_feat = full_fn(variables, fp, fn, ml, mr)
                 out = jax.block_until_ready(out)
-            if fid is None:
-                cache_feat = None  # no ids -> continuity unverifiable
-            else:
-                expect_fid = fid + int(out.shape[0])
+            # the returned encoding is of the RESOLVED next key
+            cache_key_fid = nfid
+            if nfid is None:
+                cache_feat = None  # ids unavailable -> never reuse
         else:
             with profiler.profile("predict_interference"):
                 out = predict_fn(variables, fp, fn, ml, mr)

@@ -203,7 +203,8 @@ def test_after_fit_evaluates_best_checkpoint(tmp_path, synth_root):
 
     restored = runner.restore_best(worse_state)
     assert int(restored.step) == 111
-    # resume epoch derives from the LAST save, not the top-k index
+    # resume epoch derives from the LAST durable save, not the top-k index
+    runner.ckpt.wait()
     assert runner.ckpt.last_epoch == 1
 
 

@@ -67,3 +67,47 @@ def test_checkpoint_topk(tmp_path):
     restored_last = mgr.restore({"w": jnp.zeros((2,))})
     np.testing.assert_array_equal(np.asarray(restored_last["w"]), [4.0, 4.0])
     assert {e["epoch"] for e in mgr._index} == {1, 3}
+
+
+def test_checkpoint_topk_zero(tmp_path):
+    """save_top_k=0 keeps no named checkpoints but still refreshes 'last'
+    (Lightning semantics; regressed once when retention moved up-front)."""
+    import os
+    import jax.numpy as jnp
+    from floodseg_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=0)
+    for epoch in range(2):
+        mgr.save({"w": jnp.full((2,), float(epoch))}, epoch,
+                 {"val_miou_epoch": 0.5})
+    mgr.wait()
+    assert not any(f.startswith("epoch=") for f in os.listdir(mgr.directory))
+    assert mgr.best_path is None
+    assert mgr.last_epoch == 1
+    restored = mgr.restore({"w": jnp.zeros((2,))})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [1.0, 1.0])
+
+
+def test_checkpoint_crash_leaves_durable_last(tmp_path):
+    """At any instant there is a complete last-{epoch} on disk: the previous
+    one is only removed after the next save has drained."""
+    import os
+    import jax.numpy as jnp
+    from floodseg_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=1)
+    mgr.save({"w": jnp.ones((2,))}, 0, {"val_miou_epoch": 0.5})
+    # epoch 1's write may be in flight right after save() returns; epoch 0's
+    # durable last must still exist until the NEXT save drains
+    mgr.save({"w": jnp.full((2,), 2.0)}, 1, {"val_miou_epoch": 0.6})
+    lasts = [f for f in os.listdir(mgr.directory) if f.startswith("last-")
+             and ".orbax-checkpoint-tmp" not in f]
+    assert "last-0" in lasts
+    mgr.wait()
+    # a fresh manager (crash-restart) resumes from the newest durable last
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), save_top_k=1)
+    assert mgr2.last_epoch == 1
+    # the legacy 'last' name resolves (symlink refreshed by wait)
+    restored = mgr2.restore({"w": jnp.zeros((2,))},
+                            os.path.join(mgr.directory, "last"))
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [2.0, 2.0])

@@ -1,5 +1,6 @@
 """Flow training/predict end-to-end on the synthetic dataset."""
 
+import os
 import numpy as np
 import pytest
 import jax
@@ -156,6 +157,48 @@ def test_cached_predict_matches_full(synth_root, model_and_state):
     s_plain = run_predict(plain, variables, loader1, num_classes=5)
     s_cached = run_predict(plain, variables, loader2, num_classes=5,
                            cached_fns=(full_fn, cached_fn))
+    assert s_plain["frames"] == s_cached["frames"]
+    np.testing.assert_allclose(s_plain["predict_miou1_epoch"],
+                               s_cached["predict_miou1_epoch"], rtol=0)
+
+
+@pytest.mark.slow
+def test_cached_predict_handles_missing_key_frame(synth_root, model_and_state,
+                                                  tmp_path):
+    """A MISSING shared key frame resolves differently for adjacent windows
+    (f_next walks down, the next f_prev walks up) — the cache must detect the
+    mismatch via the resolved ids and re-encode, staying bit-identical."""
+    import shutil
+    from floodseg_tpu.train.flow import make_cached_flow_predict_fn
+
+    root2 = str(tmp_path / "gapped")
+    shutil.copytree(synth_root, root2)
+    # remove the shared key frame between windows 1 and 2 (frame 2*DELTA)
+    os.remove(os.path.join(root2, "frames", "synth", "images",
+                           f"{2 * DELTA}.jpg"))
+
+    model, state = model_and_state
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = FlowDataset("predict", root2, type="u",
+                     transform=build_test_transform(resize=(96, 128),
+                                                    normalize=True),
+                     frame_delta=DELTA, predict_v_id="synth")
+    batches = list(DataLoader(ds, batch_size=1, num_workers=1))
+    # the gap is real: window 1's resolved next != window 2's resolved prev
+    assert int(batches[1]["next_frame_id"][0]) != int(batches[2]["prev_frame_id"][0])
+
+    dg = ds.default_grid
+    plain = make_flow_predict_fn(model, n=DELTA, out_size=(96, 128),
+                                 default_grid=dg)
+    full_fn, cached_fn = make_cached_flow_predict_fn(
+        model, n=DELTA, out_size=(96, 128), default_grid=dg)
+
+    s_plain = run_predict(plain, variables,
+                          DataLoader(ds, batch_size=1, num_workers=1),
+                          num_classes=5)
+    s_cached = run_predict(plain, variables,
+                           DataLoader(ds, batch_size=1, num_workers=1),
+                           num_classes=5, cached_fns=(full_fn, cached_fn))
     assert s_plain["frames"] == s_cached["frames"]
     np.testing.assert_allclose(s_plain["predict_miou1_epoch"],
                                s_cached["predict_miou1_epoch"], rtol=0)
