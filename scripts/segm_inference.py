@@ -1,12 +1,14 @@
-"""Folder inference with the standalone Segmenter.
+"""Folder inference / evaluation with the standalone Segmenter.
 
 python scripts/segm_inference.py --ckpt CKPT -i IN_DIR -o OUT_DIR
     --n-cls 150 [--window-size 512 --window-stride 480] [--blend 0.5]
+    [--ann-dir ANN_DIR [--reduce-zero-label]]
 
-TPU-native equivalent of the reference's segm/inference.py: sliding-window
-segment every image in a folder and write the colorized map blended over the
-input. Colors come from --colors (a colors.txt palette) or a deterministic
-generated palette.
+TPU-native equivalent of the reference's segm/inference.py (sliding-window
+segment every image in a folder, write the colorized map blended over the
+input) and, with --ann-dir, of segm/eval/miou.py (mean IoU / mean accuracy
+against the ground-truth masks). Colors come from --colors (a colors.txt
+palette) or a deterministic generated palette.
 """
 
 import argparse
@@ -42,6 +44,11 @@ def main(argv=None):
     p.add_argument("--dec-layers", type=int, default=2)
     p.add_argument("--colors", default=None)
     p.add_argument("--blend", type=float, default=0.5)
+    p.add_argument("--ann-dir", default=None,
+                   help="ground-truth masks (stem-matched .png): report "
+                        "mean_iou/mean_acc like segm/eval/miou.py")
+    p.add_argument("--ann-suffix", default=".png")
+    p.add_argument("--reduce-zero-label", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -67,6 +74,14 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     mean, std = np.asarray(MEAN, np.float32), np.asarray(STD, np.float32)
 
+    meter = None
+    if args.ann_dir:
+        from floodseg_tpu.ops.metrics import (
+            MetricMeter, intersection_and_union,
+        )
+        import jax.numpy as jnp
+        meter = MetricMeter(args.n_cls)
+
     names = sorted(f for f in os.listdir(args.input_dir)
                    if f.lower().endswith((".jpg", ".jpeg", ".png")))
     for name in names:
@@ -76,12 +91,30 @@ def main(argv=None):
         x = (np.asarray(im, np.float32) - mean) / std
         prob = sliding_inference(fwd, variables, x, args.n_cls, window,
                                  stride, ori_shape=ori.shape[:2])
-        seg_rgb = colors[prob.argmax(-1)]
+        pred = prob.argmax(-1)
+        seg_rgb = colors[pred]
         blend = (args.blend * seg_rgb +
                  (1 - args.blend) * ori).astype(np.uint8)
         Image.fromarray(blend).save(os.path.join(args.output_dir, name))
+        if meter is not None:
+            stem = os.path.splitext(name)[0]
+            ann = os.path.join(args.ann_dir, stem + args.ann_suffix)
+            if os.path.exists(ann):
+                import jax.numpy as jnp
+                lab = np.asarray(Image.open(ann)).astype(np.int32)
+                if args.reduce_zero_label:
+                    lab = np.where(lab == 0, 256, lab) - 1
+                i, u, t = intersection_and_union(
+                    jnp.asarray(pred.astype(np.int32)), jnp.asarray(lab),
+                    args.n_cls, 255)
+                meter.update(i, u, t)
         print(name, flush=True)
     print(f"wrote {len(names)} segmentations to {args.output_dir}")
+    if meter is not None and meter.count > 0:
+        s = meter.summary()
+        print(f"mean_iou {s['miou']:.4f} mean_acc {s['macc']:.4f} "
+              f"overall_acc {s['allacc']:.4f}")
+        print("iou_per_class", [round(float(v), 4) for v in s["iou_class"]])
     return 0
 
 
