@@ -288,6 +288,7 @@ class Runner:
             t0 = time.time()
             train_meter = MetricMeter(self.num_classes)
             loss_sum, loss_n = 0.0, 0
+            epoch_metrics = []
             for _ in range(steps_per_epoch):
                 batch = {k: self._device_batch(next(it))
                          for k, it in iters.items()}
@@ -295,11 +296,16 @@ class Runner:
                     batch = batch["l"]
                 step_rng = jax.random.fold_in(self.rng, global_step)
                 state, metrics = train_fn(state, batch, step_rng, epoch)
+                # keep metrics on device: a float() here would sync every
+                # step and stall the dispatch pipeline; they are read back
+                # together at epoch end
+                epoch_metrics.append(metrics)
+                global_step += 1
+            for metrics in epoch_metrics:
                 loss_sum += float(metrics["loss"])
                 loss_n += 1
                 train_meter.update(metrics["intersection"], metrics["union"],
                                    metrics["target"])
-                global_step += 1
             train_summary = train_meter.summary()
             self.logger.log({"train_loss_epoch": loss_sum / max(loss_n, 1),
                              "train_miou_epoch": train_summary["miou"],
