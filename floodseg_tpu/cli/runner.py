@@ -50,6 +50,7 @@ from floodseg_tpu.video.grid import default_grid
 
 FLOW_METHODS = ("flow_supervised", "flow_gan")
 SEMI_METHODS = ("gan", "flow_gan", "contrastive")
+_FRAME_KEYS = ("frame_current", "frame_prev", "frame_next")
 
 
 class _EvalState(NamedTuple):
@@ -148,7 +149,8 @@ class Runner:
             resize = (d.resize_h, d.resize_w)
             return {
                 "train": build_train_transform(th, tw, d.data_classes_ignore,
-                                               d.scale_min, d.scale_max, resize),
+                                               d.scale_min, d.scale_max, resize,
+                                               normalize=not d.normalize_on_device),
                 "val": build_val_transform(th, tw, d.data_classes_ignore, resize),
                 "test": build_test_transform(d.data_classes_ignore, resize,
                                              normalize=False),
@@ -175,6 +177,7 @@ class Runner:
             "train": build_train_transform(
                 th, tw, d.data_classes_ignore, scale_min, scale_max, resize,
                 with_rotate=d.no_warp, crop_padding=None,
+                normalize=not d.normalize_on_device,
             ),
             "val": build_val_transform(th, tw, d.data_classes_ignore,
                                        resize_val_test, crop=not d.no_cropping,
@@ -345,10 +348,45 @@ class Runner:
 
     def _device_batch(self, batch):
         """Host batch -> device: batch-dim sharded over the mesh when data
-        parallelism is active, plain transfer otherwise."""
+        parallelism is active, plain transfer otherwise. With
+        normalize_on_device, frames cross the link as float16 raw pixels."""
+        if self.cfg.data.normalize_on_device:
+            batch = {k: (v.astype(np.float16) if k in _FRAME_KEYS else v)
+                     for k, v in batch.items()}
         if self.mesh is None:
             return _jnp_batch(batch)
         return shard_batch(batch, self.mesh)
+
+    def _norm_wrap(self, fn, batch_argnums=(1,)):
+        """Fuse (x - mean)/std of the frame keys into the step when the
+        train pipeline ships raw pixels (data.normalize_on_device)."""
+        if not self.cfg.data.normalize_on_device:
+            return fn
+        from floodseg_tpu.data.transforms import MEAN, STD
+        mean = jnp.asarray(MEAN, jnp.float32)
+        std = jnp.asarray(STD, jnp.float32)
+
+        def norm(tree):
+            if not isinstance(tree, dict):
+                return tree
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    out[k] = norm(v)
+                elif k in _FRAME_KEYS:
+                    out[k] = (v.astype(jnp.float32) - mean) / std
+                else:
+                    out[k] = v
+            return out
+
+        batch_argnums = set(batch_argnums)
+
+        def wrapped(*args):
+            args = [norm(a) if i in batch_argnums else a
+                    for i, a in enumerate(args)]
+            return fn(*args)
+
+        return wrapped
 
     def _jit_train(self, fn, batch_argnums=(1,), donate_argnums=(0,)):
         """jit a train step; under a mesh the batch args are sharded and the
@@ -357,6 +395,7 @@ class Runner:
         Input states are DONATED: the step's output reuses their HBM, which
         is what lets U2PL train at the reference's 873px crop without
         rematerialization (measured +27% steps/s on v5e vs remat)."""
+        fn = self._norm_wrap(fn, batch_argnums)
         if self.mesh is None:
             return jax.jit(fn, donate_argnums=donate_argnums)
         return sharded_jit(fn, self.mesh, batch_argnums=batch_argnums,

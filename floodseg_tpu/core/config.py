@@ -114,6 +114,10 @@ class DataConfig:
     train_w: int = 873
     workers: int = 8
     workers_test: int = 8
+    # fit-path host->device transfer optimization: the train pipeline skips
+    # Normalize, frames travel as float16 raw pixels (half the bytes) and
+    # (x - mean)/std fuses into the compiled train step
+    normalize_on_device: bool = False
     ignore_index: int = 255
     semisupervised: bool = False
     data_ratio: float = 1.0

@@ -281,9 +281,14 @@ def build_train_transform(
     with_rotate: bool = True,
     crop_padding=MEAN,
     ignore_index: int = 255,
+    normalize: bool = True,
 ) -> Compose:
     """foundation.py:401-413 (single-frame; with_rotate=False mirrors the
-    flow pipeline where grids can't rotate, flow/base.py:375-394)."""
+    flow pipeline where grids can't rotate, flow/base.py:375-394).
+
+    ``normalize=False`` leaves raw-pixel floats for fused on-device
+    normalization (data.normalize_on_device): frames then cross the
+    host->device link at half the bytes as float16."""
     return Compose([
         IgnoreClasses(classes_ignore),
         Resize(resize),
@@ -293,7 +298,7 @@ def build_train_transform(
         RandomHorizontalFlip(),
         Crop([train_h, train_w], crop_type="rand", padding=crop_padding,
              ignore_label=ignore_index),
-        Normalize(),
+        Normalize() if normalize else ToFloat(),
     ])
 
 

@@ -340,6 +340,22 @@ def test_predict_dp_matches_single_device(tmp_path, synth_root):
                                out[2]["predict_miou1_epoch"], rtol=1e-6)
 
 
+@pytest.mark.slow
+def test_normalize_on_device_matches_host(tmp_path, synth_root):
+    """data.normalize_on_device relocates (x-mean)/std into the compiled
+    step (frames ship as float16 raw pixels): the fit must match the
+    host-normalized path up to float16 pixel quantization."""
+    import jax
+
+    s_host = _fit_params(tmp_path, synth_root, "supervised", "norm_host", 1, 4)
+    s_dev = _fit_params(tmp_path, synth_root, "supervised", "norm_dev", 1, 4,
+                        extra={"data.normalize_on_device": "true"})
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_u2pl_teacher_sync_only_at_boundary_epoch(tmp_path, synth_root,
                                                   monkeypatch):
     """Student->teacher sync happens exactly once, AT the boundary epoch
