@@ -19,20 +19,20 @@ flow_supervised.py, flow_gan.py):
 import os
 import time
 import uuid
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from floodseg_tpu.core.config import Config, round_train
+from floodseg_tpu.core.config import Config
 from floodseg_tpu.core.checkpoint import CheckpointManager
 from floodseg_tpu.core.logging import RunLogger
 from floodseg_tpu.data import (
     SemDataset, FlowDataset, DataLoader,
     build_train_transform, build_val_transform, build_test_transform,
 )
-from floodseg_tpu.data.transforms import Compose, IgnoreClasses, Resize, Crop, Normalize
+from floodseg_tpu.data.transforms import Compose
 from floodseg_tpu.models import build_model, S4GANDiscriminator, FLOW_ARCHS
 from floodseg_tpu.ops.metrics import MetricMeter
 from floodseg_tpu.train.optim import make_optimizer, poly_schedule
@@ -46,7 +46,6 @@ from floodseg_tpu.train.predict import run_predict
 from floodseg_tpu.parallel.mesh import (
     create_mesh, shard_batch, replicated_sharding, sharded_jit,
 )
-from floodseg_tpu.video.grid import default_grid
 
 FLOW_METHODS = ("flow_supervised", "flow_gan")
 SEMI_METHODS = ("gan", "flow_gan", "contrastive")

@@ -18,8 +18,6 @@ import os
 import shutil
 from typing import Any, Dict, List, Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
