@@ -225,11 +225,13 @@ class Runner:
                 ds.length = len(ds.items)
         return ds_l, ds_u
 
-    def _loader(self, ds, batch_size, shuffle=False, infinite=False, drop_last=False):
+    def _loader(self, ds, batch_size, shuffle=False, infinite=False,
+                drop_last=False, device_put=None):
         d = self.cfg.data
         return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
                           num_workers=d.workers, seed=self.cfg.trainer.seed,
-                          infinite=infinite, drop_last=drop_last)
+                          infinite=infinite, drop_last=drop_last,
+                          device_put=device_put)
 
     # ------------------------------------------------------------------
     # fit
@@ -250,19 +252,26 @@ class Runner:
                 f"{self.num_devices} devices) exceeds the labeled train set "
                 f"({len(train_l)}); lower data.batch_size or "
                 f"trainer.num_devices")
+        # the producer thread does the host->device transfer (and mesh
+        # sharding), overlapping it with the previous step's compute
         loaders = {"l": self._loader(train_l, global_batch, shuffle=True,
-                                     infinite=True, drop_last=True)}
+                                     infinite=True, drop_last=True,
+                                     device_put=self._device_batch)}
         steps_per_epoch = max(1, len(train_l) // global_batch)
         if train_u is not None:
             loaders["u"] = self._loader(train_u, global_batch,
-                                        shuffle=True, infinite=True, drop_last=True)
+                                        shuffle=True, infinite=True,
+                                        drop_last=True,
+                                        device_put=self._device_batch)
             # max_size_cycle (configs/train_base.yaml:38)
             steps_per_epoch = max(steps_per_epoch,
                                   len(train_u) // global_batch)
         if cfg.method in ("gan", "flow_gan"):
             train_gt = self._dataset("train", "train.txt", "gt", tf["train"])
             loaders["gt"] = self._loader(train_gt, global_batch,
-                                         shuffle=True, infinite=True, drop_last=True)
+                                         shuffle=True, infinite=True,
+                                         drop_last=True,
+                                         device_put=self._device_batch)
         if cfg.trainer.limit_train_batches:
             steps_per_epoch = min(steps_per_epoch, cfg.trainer.limit_train_batches)
 
@@ -292,8 +301,7 @@ class Runner:
             loss_sum, loss_n = 0.0, 0
             epoch_metrics = []
             for _ in range(steps_per_epoch):
-                batch = {k: self._device_batch(next(it))
-                         for k, it in iters.items()}
+                batch = {k: next(it) for k, it in iters.items()}
                 if len(batch) == 1:
                     batch = batch["l"]
                 step_rng = jax.random.fold_in(self.rng, global_step)
