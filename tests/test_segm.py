@@ -179,3 +179,16 @@ def test_prepare_cityscapes_conversion(tmp_path):
                           str(dst / "annotations" / "train"),
                           img_suffix=".png")
     assert len(ds) == 1
+
+
+def test_sliding_inference_stride_beyond_window_no_nan():
+    """A stride larger than the (possibly shrunken) window must not leave
+    uncovered pixels (0/0 -> NaN probabilities); the stride is clamped."""
+    def fwd(variables, crops):
+        return jnp.zeros(crops.shape[:3] + (3,))
+
+    img = np.zeros((40, 100, 3), np.float32)
+    prob = sliding_inference(fwd, None, img, 3, window_size=1024,
+                             window_stride=992)
+    assert np.isfinite(prob).all()
+    np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-6)
