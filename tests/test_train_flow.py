@@ -202,3 +202,40 @@ def test_cached_predict_handles_missing_key_frame(synth_root, model_and_state,
     assert s_plain["frames"] == s_cached["frames"]
     np.testing.assert_allclose(s_plain["predict_miou1_epoch"],
                                s_cached["predict_miou1_epoch"], rtol=0)
+
+
+@pytest.mark.slow
+def test_flow_path_with_deeplabv3():
+    """deeplabv3 is the second flow-capable arch (FLOW_ARCHS, reference
+    model/deeplabv3.py FlowDeepLabv3): interp train step and whole-clip
+    predict run through its encode/decode methods."""
+    from floodseg_tpu.models import build_model
+    from floodseg_tpu.video.grid import default_grid as make_default_grid
+
+    model = build_model("deeplabv3", classes=5, layers=50, with_aux=False)
+    tx = make_optimizer(base_lr=0.001, max_iter=10)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), tx=tx)
+
+    rng = np.random.default_rng(0)
+    t, gh, gw = 2, 2, 2
+    batch = {
+        "frame_prev": jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32),
+        "frame_next": jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32),
+        "mvs_left": jnp.asarray(rng.uniform(-1, 1, (t, 2, gh, gw, 2)), jnp.float32),
+        "mvs_right": jnp.asarray(rng.uniform(-1, 1, (t, 2, gh, gw, 2)), jnp.float32),
+        "left_index": jnp.ones((2,), jnp.int32),
+        "right_index": jnp.ones((2,), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 5, (2, 32, 32)), jnp.int32),
+    }
+    loss_fn = make_loss_fn("ce", aux_weight=0.0)
+    interp_step, _ = make_flow_train_step(model, loss_fn, num_classes=5)
+    state, m = jax.jit(interp_step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+    pf = make_flow_predict_fn(model, n=3, out_size=(32, 32),
+                              default_grid=make_default_grid(32, 32))
+    vs = {"params": state.params, "batch_stats": state.batch_stats}
+    out = pf(vs, batch["frame_prev"][:1], batch["frame_next"][:1],
+             batch["mvs_left"][:, :1], batch["mvs_right"][:, :1])
+    assert out.shape == (3, 32, 32)
