@@ -9,6 +9,11 @@ Calibration (round 2, CPU float32): best val mIoU 0.507 by epoch ~25
 (75 steps), test-on-best-checkpoint 0.493, fit ~5.5 min. Thresholds sit
 well below the measured values but far above the ~0.12 mIoU a
 background-dominated collapse produces.
+
+The same config on a real v5e reaches best val ~0.41 (TPU matmuls default
+to bf16 passes, so short low-lr fits converge slightly slower than CPU
+f32) — the gates run on the CPU mesh in CI, where the 0.40/0.35 thresholds
+have full margin.
 """
 
 import os
