@@ -311,7 +311,8 @@ class Runner:
                 # together at epoch end
                 epoch_metrics.append(metrics)
                 global_step += 1
-            for metrics in epoch_metrics:
+            # one batched D2H transfer for the whole epoch's metrics
+            for metrics in jax.device_get(epoch_metrics):
                 loss_sum += float(metrics["loss"])
                 loss_n += 1
                 train_meter.update(metrics["intersection"], metrics["union"],

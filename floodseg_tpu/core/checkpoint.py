@@ -27,6 +27,36 @@ def _is_finalized(path: str) -> bool:
     return os.path.isdir(path) and ".orbax-checkpoint-tmp" not in path
 
 
+def _scan_last_entries(directory: str) -> List[Tuple[int, str]]:
+    """Finalized (epoch, path) last-checkpoints in ``directory``, oldest
+    first; the legacy unversioned 'last' dir sorts before any last-{e}."""
+    out = []
+    if not os.path.isdir(directory):
+        return out
+    for f in os.listdir(directory):
+        p = os.path.join(directory, f)
+        if f.startswith("last-") and _is_finalized(p):
+            try:
+                out.append((int(f[len("last-"):]), p))
+            except ValueError:
+                continue
+        elif f == "last" and not os.path.islink(p) and _is_finalized(p):
+            out.append((-1, p))  # legacy unversioned "last"
+    return sorted(out)
+
+
+def _resolve_last(path: str) -> Optional[str]:
+    """Resolve a ``.../last`` request to the newest durable last checkpoint
+    IN THAT DIRECTORY (never another manager's) — covers both a missing
+    'last' (crash before the symlink refresh) and a stale symlink left by
+    an earlier completed fit."""
+    entries = _scan_last_entries(os.path.dirname(os.path.abspath(path)))
+    if entries:
+        return entries[-1][1]
+    # legacy layout: the literal (non-symlink) dir is all there is
+    return path if os.path.exists(path) else None
+
+
 class CheckpointManager:
     def __init__(self, directory: str, save_top_k: int = 5,
                  monitor: str = "val_miou_epoch", mode: str = "max"):
@@ -40,6 +70,12 @@ class CheckpointManager:
         if os.path.exists(self._index_path):
             with open(self._index_path) as f:
                 self._index = json.load(f)
+            # drop crash orphans: index.json is written while the async
+            # checkpoint write is still in flight, so a crash can leave
+            # entries whose directory never finalized — keeping them would
+            # waste top-k retention slots and skew best_path forever
+            self._index = [e for e in self._index
+                           if _is_finalized(self._path(e["name"]))]
         self._ckptr = ocp.StandardCheckpointer()
 
     # ---- paths ----
@@ -48,18 +84,7 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def _last_entries(self) -> List[Tuple[int, str]]:
-        """Finalized (epoch, path) last-checkpoints on disk, oldest first."""
-        out = []
-        for f in os.listdir(self.directory):
-            p = self._path(f)
-            if f.startswith("last-") and _is_finalized(p):
-                try:
-                    out.append((int(f[len("last-"):]), p))
-                except ValueError:
-                    continue
-            elif f == "last" and not os.path.islink(p) and _is_finalized(p):
-                out.append((-1, p))  # legacy unversioned "last"
-        return sorted(out)
+        return _scan_last_entries(self.directory)
 
     @property
     def last_path(self) -> Optional[str]:
@@ -75,7 +100,14 @@ class CheckpointManager:
         entries = self._last_entries()
         if entries and entries[-1][0] >= 0:
             return entries[-1][0]
-        if self._index:  # legacy layout fallback
+        # legacy layout (pre-versioned 'last'): last_meta.json recorded the
+        # epoch of the newest save — the top-k index prunes by METRIC and
+        # its max epoch can be older, so it is only the final fallback
+        meta = self._path("last_meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return json.load(f)["epoch"]
+        if self._index:
             return max(e["epoch"] for e in self._index)
         return None
 
@@ -155,12 +187,16 @@ class CheckpointManager:
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
         """Restore into the structure of ``target`` (a concrete train state).
 
-        A ``.../last`` path that does not exist on disk resolves to the
-        newest durable ``last-{epoch}`` (test.sh/predict.sh surface)."""
+        A ``.../last`` path resolves to the newest durable ``last-{epoch}``
+        IN ITS OWN directory (test.sh/predict.sh surface) — covering a
+        missing 'last' after a crash AND a stale symlink from an earlier
+        completed fit, without ever falling back to this manager's run."""
         self._ckptr.wait_until_finished()  # in case a save is in flight
-        if path is not None and not os.path.exists(path) \
-                and os.path.basename(path) == "last":
-            path = self.last_path
+        if path is not None and os.path.basename(path) == "last":
+            resolved = _resolve_last(path)
+            if resolved is None:
+                raise FileNotFoundError(f"no last checkpoint at {path}")
+            path = resolved
         path = path or self.last_path
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")

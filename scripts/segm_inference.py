@@ -75,11 +75,11 @@ def main(argv=None):
     mean, std = np.asarray(MEAN, np.float32), np.asarray(STD, np.float32)
 
     meter = None
+    n_matched = 0
     if args.ann_dir:
         from floodseg_tpu.ops.metrics import (
             MetricMeter, intersection_and_union,
         )
-        import jax.numpy as jnp
         meter = MetricMeter(args.n_cls)
 
     names = sorted(f for f in os.listdir(args.input_dir)
@@ -100,7 +100,6 @@ def main(argv=None):
             stem = os.path.splitext(name)[0]
             ann = os.path.join(args.ann_dir, stem + args.ann_suffix)
             if os.path.exists(ann):
-                import jax.numpy as jnp
                 lab = np.asarray(Image.open(ann)).astype(np.int32)
                 if args.reduce_zero_label:
                     lab = np.where(lab == 0, 256, lab) - 1
@@ -108,12 +107,19 @@ def main(argv=None):
                     jnp.asarray(pred.astype(np.int32)), jnp.asarray(lab),
                     args.n_cls, 255)
                 meter.update(i, u, t)
+                n_matched += 1
         print(name, flush=True)
     print(f"wrote {len(names)} segmentations to {args.output_dir}")
     if meter is not None and meter.count > 0:
         s = meter.summary()
+        # a partial score must not read as a full-dataset one
+        if n_matched < len(names):
+            print(f"WARNING: only {n_matched}/{len(names)} images had a "
+                  f"matching annotation under {args.ann_dir} "
+                  f"(check --ann-suffix)")
         print(f"mean_iou {s['miou']:.4f} mean_acc {s['macc']:.4f} "
-              f"overall_acc {s['allacc']:.4f}")
+              f"overall_acc {s['allacc']:.4f} ({n_matched}/{len(names)} "
+              f"images)")
         print("iou_per_class", [round(float(v), 4) for v in s["iou_class"]])
     return 0
 

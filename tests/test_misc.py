@@ -111,3 +111,64 @@ def test_checkpoint_crash_leaves_durable_last(tmp_path):
     restored = mgr2.restore({"w": jnp.zeros((2,))},
                             os.path.join(mgr.directory, "last"))
     np.testing.assert_array_equal(np.asarray(restored["w"]), [2.0, 2.0])
+
+
+def test_checkpoint_last_resolution_edge_cases(tmp_path):
+    """'last' resolution: cross-directory requests never fall back to the
+    manager's own run; a stale symlink is re-resolved to the newest durable
+    last-{epoch}; legacy last_meta.json drives resume before the
+    metric-pruned index; crash-orphaned index entries are dropped."""
+    import json
+    import pytest
+    import os
+    import jax.numpy as jnp
+    from floodseg_tpu.core.checkpoint import CheckpointManager
+
+    # run A: two durable lasts + a STALE symlink left by an earlier wait()
+    a = CheckpointManager(str(tmp_path / "A"), save_top_k=1)
+    a.save({"w": jnp.full((2,), 5.0)}, 5, {"val_miou_epoch": 0.5})
+    a.wait()  # symlink last -> last-5
+    a.save({"w": jnp.full((2,), 6.0)}, 6, {"val_miou_epoch": 0.6})
+    a._ckptr.wait_until_finished()  # durable, but symlink still -> last-5
+
+    # run B: a different run entirely
+    b = CheckpointManager(str(tmp_path / "B"), save_top_k=1)
+    b.save({"w": jnp.zeros((2,))}, 0, {"val_miou_epoch": 0.1})
+    b.wait()
+
+    # manager B restoring A's '.../last' must yield A's NEWEST durable
+    # epoch (6), not the stale symlink target (5) and never B's weights
+    restored = b.restore({"w": jnp.zeros((2,))},
+                         str(tmp_path / "A" / "last"))
+    np.testing.assert_array_equal(np.asarray(restored["w"]), [6.0, 6.0])
+
+    # a '.../last' request for an empty directory raises instead of
+    # silently resolving against the manager's own run
+    os.makedirs(tmp_path / "C")
+    with pytest.raises(FileNotFoundError):
+        b.restore({"w": jnp.zeros((2,))}, str(tmp_path / "C" / "last"))
+
+    # legacy layout: unversioned 'last' + last_meta.json beats the
+    # metric-pruned index's max epoch for resume
+    legacy = tmp_path / "L"
+    lm = CheckpointManager(str(legacy), save_top_k=5)
+    lm.save({"w": jnp.ones((2,))}, 7, {"val_miou_epoch": 0.9})
+    lm.wait()
+    os.remove(legacy / "last")  # drop the symlink; fabricate legacy layout
+    os.rename(legacy / "last-7", legacy / "last")
+    (legacy / "last_meta.json").write_text(json.dumps({"epoch": 9}))
+    lm2 = CheckpointManager(str(legacy), save_top_k=5)
+    assert lm2.last_epoch == 9
+
+    # crash-orphaned index entries (dir never finalized) are dropped on load
+    ghost_dir = tmp_path / "G"
+    g = CheckpointManager(str(ghost_dir), save_top_k=2)
+    g.save({"w": jnp.ones((2,))}, 0, {"val_miou_epoch": 0.5})
+    g.wait()
+    idx = json.loads((ghost_dir / "index.json").read_text())
+    idx.append({"name": "epoch=1-val_miou_epoch=0.9000", "epoch": 1,
+                "metric": 0.9})
+    (ghost_dir / "index.json").write_text(json.dumps(idx))
+    g2 = CheckpointManager(str(ghost_dir), save_top_k=2)
+    assert len(g2._index) == 1
+    assert g2.best_path.endswith("epoch=0-val_miou_epoch=0.5000")
