@@ -129,17 +129,16 @@ def main():
 
     batches = list(loader)
     log(f"{len(batches)} clips of {FRAME_DELTA} frames")
-    # key-feature reuse across CONSECUTIVE windows: window k's RESOLVED next
-    # key must be window k+1's resolved prev key — one encode per clip
-    assert all(
-        int(np.asarray(b1["next_frame_id"])[0])
-        == int(np.asarray(b2["prev_frame_id"])[0])
-        for b1, b2 in zip(batches, batches[1:]))
 
-    state = {"feat": None}
+    state = {"feat": None, "next_id": None}
 
     def run(batch, first=False):
-        if first or state["feat"] is None:
+        # key-feature reuse needs window k's RESOLVED next key == window
+        # k+1's resolved prev key; on a video with missing frames (the
+        # nearest-existing fallback) continuity can break — fall back to a
+        # full encode for that window, exactly like run_predict does
+        pfid = int(np.asarray(batch["prev_frame_id"])[0])
+        if first or state["feat"] is None or pfid != state["next_id"]:
             out, feat = full_fn(variables, batch["frame_prev"],
                                 batch["frame_next"], batch["mvs_left"],
                                 batch["mvs_right"])
@@ -148,6 +147,7 @@ def main():
                                   batch["frame_next"], batch["mvs_left"],
                                   batch["mvs_right"])
         state["feat"] = feat
+        state["next_id"] = int(np.asarray(batch["next_frame_id"])[0])
         return out
 
     def force(o):

@@ -66,6 +66,24 @@ def _jnp_batch(batch):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+_TIME_MAJOR_KEYS = ("mvs_left", "mvs_right")  # (T, B, ...) layout
+
+
+def _iter_single_samples(batch):
+    """Split a collated loader batch into single-sample batches. The
+    sliding-window test programs process one frame (pair) at a time;
+    data.batch_size_test sizes only the LOADER, matching the reference
+    where test_step also receives whatever foundation.py:491 batches."""
+    bsz = next(v.shape[0] for k, v in batch.items()
+               if k not in _TIME_MAJOR_KEYS)
+    if bsz == 1:
+        yield batch
+        return
+    for i in range(bsz):
+        yield {k: (v[:, i:i + 1] if k in _TIME_MAJOR_KEYS else v[i:i + 1])
+               for k, v in batch.items()}
+
+
 class Runner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -226,10 +244,11 @@ class Runner:
         return ds_l, ds_u
 
     def _loader(self, ds, batch_size, shuffle=False, infinite=False,
-                drop_last=False, device_put=None):
+                drop_last=False, device_put=None, workers=None):
         d = self.cfg.data
         return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
-                          num_workers=d.workers, seed=self.cfg.trainer.seed,
+                          num_workers=d.workers if workers is None else workers,
+                          seed=self.cfg.trainer.seed,
                           infinite=infinite, drop_last=drop_last,
                           device_put=device_put)
 
@@ -293,6 +312,8 @@ class Runner:
             state = jax.device_put(state, replicated_sharding(self.mesh))
 
         best_metric, best_epoch = -np.inf, -1
+        wait_count = 0  # EarlyStopping counts VALIDATION checks, not epochs
+        val_every = max(1, cfg.trainer.check_val_every_n_epoch)
         global_step = start_epoch * steps_per_epoch
         iters = {k: iter(v) for k, v in loaders.items()}
         for epoch in range(start_epoch, cfg.trainer.max_epochs):
@@ -323,30 +344,45 @@ class Runner:
                              "epoch_time": time.time() - t0,
                              "epoch": epoch}, global_step)
 
-            # validation (flow: whole-frame interp; single-frame: center crop)
-            val_meter = MetricMeter(self.num_classes)
-            for bi, batch in enumerate(val_loader):
-                if cfg.trainer.limit_val_batches and bi >= cfg.trainer.limit_val_batches:
-                    break
-                m = eval_fn(state, _jnp_batch(batch), epoch)
-                val_meter.update(m["intersection"], m["union"], m["target"])
-            vs = val_meter.summary()
-            val_miou = vs["miou"]
-            self.logger.log({"val_miou_epoch": val_miou,
-                             "val_macc_epoch": vs["macc"],
-                             "val_accuracy_epoch": vs["allacc"]}, global_step)
-            print(f"epoch {epoch}: loss {loss_sum / max(loss_n, 1):.4f} "
-                  f"val_miou {val_miou:.4f}", flush=True)
+            # validation (flow: whole-frame interp; single-frame: center
+            # crop), every check_val_every_n_epoch epochs
+            # (configs/train_base.yaml:12, honored by the Lightning Trainer)
+            do_val = (epoch + 1) % val_every == 0
+            ckpt_metrics = {}
+            if do_val:
+                val_meter = MetricMeter(self.num_classes)
+                for bi, batch in enumerate(val_loader):
+                    if cfg.trainer.limit_val_batches and bi >= cfg.trainer.limit_val_batches:
+                        break
+                    m = eval_fn(state, _jnp_batch(batch), epoch)
+                    val_meter.update(m["intersection"], m["union"], m["target"])
+                vs = val_meter.summary()
+                val_miou = vs["miou"]
+                ckpt_metrics["val_miou_epoch"] = val_miou
+                self.logger.log({"val_miou_epoch": val_miou,
+                                 "val_macc_epoch": vs["macc"],
+                                 "val_accuracy_epoch": vs["allacc"]}, global_step)
+                print(f"epoch {epoch}: loss {loss_sum / max(loss_n, 1):.4f} "
+                      f"val_miou {val_miou:.4f}", flush=True)
+            else:
+                print(f"epoch {epoch}: loss {loss_sum / max(loss_n, 1):.4f} "
+                      f"(val every {val_every} epochs)", flush=True)
 
-            self.ckpt.save(state, epoch, {"val_miou_epoch": val_miou})
+            # skipped-val epochs write only the crash-fallback last-{epoch}:
+            # an un-evaluated model never occupies a top-k slot
+            self.ckpt.save(state, epoch, ckpt_metrics)
 
             # EarlyStopping(patience, min_delta) on val_miou_epoch (cli.py:104)
-            if val_miou > best_metric + cfg.trainer.early_stopping_min_delta:
-                best_metric, best_epoch = val_miou, epoch
-            elif epoch - best_epoch >= cfg.trainer.early_stopping_patience:
-                print(f"early stopping at epoch {epoch} "
-                      f"(best {best_metric:.4f} @ {best_epoch})", flush=True)
-                break
+            if do_val:
+                if val_miou > best_metric + cfg.trainer.early_stopping_min_delta:
+                    best_metric, best_epoch, wait_count = val_miou, epoch, 0
+                else:
+                    wait_count += 1
+                    if wait_count >= cfg.trainer.early_stopping_patience:
+                        print(f"early stopping at epoch {epoch} "
+                              f"(best {best_metric:.4f} @ {best_epoch})",
+                              flush=True)
+                        break
 
         self.ckpt.wait()  # drain async checkpoint writes before returning
         self.logger.update_summary({"best_val_miou": best_metric,
@@ -493,9 +529,6 @@ class Runner:
                 gt_norm_by_labeled_max=(cfg.method == "gan")),
                 batch_argnums=(2,), donate_argnums=(0, 1))
 
-            class GanState(tuple):
-                pass
-
             def train_fn(s, b, r, e):
                 sg, sd, metrics = step(s[0], s[1], b, r)
                 return (sg, sd), metrics
@@ -549,8 +582,17 @@ class Runner:
             max_epochs = cfg.trainer.max_epochs
             sup_only = m.sup_only_epoch
             steps_per_epoch = max(1, max_iter // max(max_epochs, 1))
+            # rel_step comes from HOST counters (the fit loop calls train_fn
+            # exactly steps_per_epoch times per epoch): reading
+            # s.student.step would force a device round-trip on EVERY semi
+            # step, defeating the deferred-metric-readback pipelining
+            host_step = {"epoch": -1, "i": 0}
 
             def train_fn(s, b, r, e):
+                if e != host_step["epoch"]:
+                    host_step["epoch"], host_step["i"] = e, 0
+                i = host_step["i"]
+                host_step["i"] = i + 1
                 if e < sup_only:
                     return sup_step(s, b, r)
                 # sync student->teacher exactly once, at the boundary EPOCH
@@ -559,23 +601,24 @@ class Runner:
                 if e == sup_only and not boundary["synced"]:
                     s = u2pl_mod.sync_teacher(s)
                 boundary["synced"] = True
-                rel = int(s.student.step) - steps_per_epoch * sup_only
+                rel = (e - sup_only) * steps_per_epoch + i
                 return semi_step(s, b, r, jnp.float32(e / max_epochs),
                                  jnp.int32(max(rel, 0)))
+
+            # compiled eval (a bare model.apply here would dispatch the
+            # hundreds of ops of a PSPNet-101 forward eagerly per val batch);
+            # both teacher and student variables share one program shape
+            ev = jax.jit(sup.make_eval_step(self.model, self.num_classes,
+                                            m.ignore_index))
 
             def eval_fn(s, b, e):
                 # serve the teacher after warmup (contrastive.py:176-180)
                 variables = (
-                    {"params": s.teacher_params, "batch_stats": s.teacher_batch_stats}
+                    _EvalState(s.teacher_params, s.teacher_batch_stats)
                     if e >= sup_only else
-                    {"params": s.student.params, "batch_stats": s.student.batch_stats}
+                    _EvalState(s.student.params, s.student.batch_stats)
                 )
-                out = self.model.apply(variables, b["frame_current"], train=False)
-                from floodseg_tpu.ops.metrics import intersection_and_union
-                pred = jnp.argmax(out["pred"], axis=-1)
-                i, u, t = intersection_and_union(pred, b["label"],
-                                                 self.num_classes, m.ignore_index)
-                return {"intersection": i, "union": u, "target": t}
+                return ev(variables, b)
 
             return state, train_fn, eval_fn
 
@@ -665,35 +708,41 @@ class Runner:
             # reference test datasets use labeled split semantics
             if not self.is_flow:
                 ds = SemDataset("val", cfg.data.data_root, path, tf["test"])
-            loader = self._loader(ds, 1)
+            # test loader sizing follows the reference's datamodule
+            # (foundation.py:491-492 batch_size_test / workers_test); the
+            # sliding-window programs stay per-sample — the loader batch is
+            # split again below (the whole-frame flow path IS batched)
+            loader = self._loader(ds, cfg.data.batch_size_test,
+                                  workers=cfg.data.workers_test)
             meter = MetricMeter(self.num_classes)
             for bi, batch in enumerate(loader):
                 if cfg.trainer.limit_test_batches and bi >= cfg.trainer.limit_test_batches:
                     break
-                if self.is_flow:
-                    if cfg.model.no_cropping:
-                        m = eval_whole(_EvalState(variables["params"],
-                                                  variables["batch_stats"]),
-                                       _jnp_batch(batch))
-                        meter.update(m["intersection"], m["union"], m["target"])
-                        continue
-                    pred = flow_sliding_window_test(
-                        crop_fn, variables, batch, self.num_classes,
-                        cfg.model.test_h, cfg.model.test_w)
-                    label = np.asarray(batch["label"])[0]
-                else:
-                    image = np.asarray(batch["frame_current"])[0]
-                    label = np.asarray(batch["label"])[0]
-                    pred = multi_scale_test(
-                        crop_forward, variables, image, self.num_classes,
-                        cfg.model.test_h, cfg.model.test_w,
-                        scales=cfg.model.test_scales,
-                        base_size=cfg.model.test_base_size)
-                from floodseg_tpu.ops.metrics import intersection_and_union
-                i, u, t = intersection_and_union(
-                    jnp.asarray(pred), jnp.asarray(label), self.num_classes,
-                    cfg.model.ignore_index)
-                meter.update(i, u, t)
+                if self.is_flow and cfg.model.no_cropping:
+                    m = eval_whole(_EvalState(variables["params"],
+                                              variables["batch_stats"]),
+                                   _jnp_batch(batch))
+                    meter.update(m["intersection"], m["union"], m["target"])
+                    continue
+                for sub in _iter_single_samples(batch):
+                    if self.is_flow:
+                        pred = flow_sliding_window_test(
+                            crop_fn, variables, sub, self.num_classes,
+                            cfg.model.test_h, cfg.model.test_w)
+                        label = np.asarray(sub["label"])[0]
+                    else:
+                        image = np.asarray(sub["frame_current"])[0]
+                        label = np.asarray(sub["label"])[0]
+                        pred = multi_scale_test(
+                            crop_forward, variables, image, self.num_classes,
+                            cfg.model.test_h, cfg.model.test_w,
+                            scales=cfg.model.test_scales,
+                            base_size=cfg.model.test_base_size)
+                    from floodseg_tpu.ops.metrics import intersection_and_union
+                    i, u, t = intersection_and_union(
+                        jnp.asarray(pred), jnp.asarray(label), self.num_classes,
+                        cfg.model.ignore_index)
+                    meter.update(i, u, t)
             meters[idx] = meter
             s = meter.summary()
             results[f"test_miou{idx + 1}_epoch"] = s["miou"]

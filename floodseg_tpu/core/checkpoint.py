@@ -127,17 +127,25 @@ class CheckpointManager:
     def save(self, state: Any, epoch: int, metrics: Dict[str, float]):
         """Async save: writes overlap the next epoch's compute. The barrier
         sits at the START of the next save (and in restore/wait), so only
-        quiesced directories are ever pruned or re-read."""
+        quiesced directories are ever pruned or re-read.
+
+        Epochs where the monitored metric was not computed (eval skipped —
+        check_val_every_n_epoch > 1, or no val set) write ONLY the
+        crash-fallback last-{epoch}: an un-evaluated model must never occupy
+        a top-k slot or become best_path."""
         self._ckptr.wait_until_finished()  # drain the previous epoch's writes
         # previous last-* checkpoints are durable now — drop all but the
         # newest (it remains the crash fallback until THIS save drains)
         for _, p in self._last_entries()[:-1]:
             shutil.rmtree(p)
-        metric = float(metrics.get(self.monitor, float("-inf")))
-        name = f"epoch={epoch}-{self.monitor}={metric:.4f}"
+        # the survivor is durable: point the convenience 'last' symlink at it
+        # NOW so external readers (test.sh/predict.sh mid-training, or after
+        # a crash) never see it dangle until end-of-fit wait()
+        self._refresh_last_link()
+        metric = metrics.get(self.monitor)
         # decide retention up-front: skip the named save when it would not
         # survive the top-k prune (one write saved vs write-then-delete)
-        if self.save_top_k == 0:
+        if metric is None or self.save_top_k == 0:
             keeps = False
         elif self.save_top_k < 0 or len(self._index) < self.save_top_k:
             keeps = True
@@ -146,6 +154,8 @@ class CheckpointManager:
             worst = key(self._index, key=lambda e: e["metric"])["metric"]
             keeps = metric > worst if self.mode == "max" else metric < worst
         if keeps:
+            metric = float(metric)
+            name = f"epoch={epoch}-{self.monitor}={metric:.4f}"
             self._ckptr.save(self._path(name), state, force=True)
             self._index.append({"name": name, "epoch": epoch, "metric": metric})
         self._ckptr.save(self._path(f"last-{epoch}"), state, force=True)
@@ -153,23 +163,28 @@ class CheckpointManager:
         with open(self._index_path, "w") as f:
             json.dump(self._index, f, indent=1)
 
+    def _refresh_last_link(self):
+        """Point the ``last`` symlink (the stable path test.sh/predict.sh
+        pass as --ckpt_path) at the newest DURABLE last-{epoch}."""
+        entries = self._last_entries()
+        if not entries:
+            return
+        link = self._path("last")
+        tmp = self._path(".last.tmp")
+        try:
+            if os.path.islink(link) or not os.path.exists(link):
+                if os.path.lexists(tmp):
+                    os.remove(tmp)
+                os.symlink(os.path.basename(entries[-1][1]), tmp)
+                os.replace(tmp, link)
+        except OSError:
+            pass  # symlink-less filesystems: restore() resolves instead
+
     def wait(self):
         """Block until all in-flight async writes are durable, then refresh
-        the convenience ``last`` symlink (the stable path test.sh/predict.sh
-        pass as --ckpt_path) to the newest durable last-{epoch}."""
+        the ``last`` symlink to the newest durable last-{epoch}."""
         self._ckptr.wait_until_finished()
-        entries = self._last_entries()
-        if entries:
-            link = self._path("last")
-            tmp = self._path(".last.tmp")
-            try:
-                if os.path.islink(link) or not os.path.exists(link):
-                    if os.path.lexists(tmp):
-                        os.remove(tmp)
-                    os.symlink(os.path.basename(entries[-1][1]), tmp)
-                    os.replace(tmp, link)
-            except OSError:
-                pass  # symlink-less filesystems: restore() resolves instead
+        self._refresh_last_link()
 
     def _prune(self):
         if self.save_top_k < 0:

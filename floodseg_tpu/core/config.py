@@ -74,7 +74,8 @@ class ModelConfig:
     pretrained: bool = True
     pretrained_path: Optional[str] = None
     semisupervised: bool = False
-    only_segmentation: bool = False
+    # (the reference's only_segmentation hparam is declared but never read
+    # anywhere — foundation.py:61 — so it is deliberately not carried)
     # flow
     feature_based: bool = True
     no_warp: bool = False

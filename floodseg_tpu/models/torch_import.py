@@ -236,10 +236,22 @@ def convert_mask_transformer(sd: Mapping, n_layers: int = 2, prefix: str = "") -
     return params
 
 
+def convert_decoder_linear(sd: Mapping, prefix: str = "") -> dict:
+    """Reference DecoderLinear state_dict -> my DecoderLinear params
+    (segm/model/decoder.py:13-34: a single n_cls Linear named ``head``)."""
+    return {"head": _linear(sd, f"{prefix}head")}
+
+
 def convert_segmenter_state_dict(sd: Mapping, n_layers: int = 12,
-                                 dec_layers: int = 2) -> dict:
-    """Full reference Segmenter (model/vit.py VITSegmentModel) -> variables."""
+                                 dec_layers: int = 2,
+                                 decoder: str = "mask_transformer") -> dict:
+    """Full reference Segmenter (model/vit.py VITSegmentModel) -> variables.
+    ``decoder`` selects the MaskTransformer or linear decoder conversion
+    (segm/model/factory.py decoder name "linear")."""
+    dec = (convert_decoder_linear(sd, "model.decoder.")
+           if decoder == "linear"
+           else convert_mask_transformer(sd, dec_layers, "model.decoder."))
     return {"params": {
         "encoder": convert_vit_encoder(sd, n_layers, "model.encoder."),
-        "decoder": convert_mask_transformer(sd, dec_layers, "model.decoder."),
+        "decoder": dec,
     }}

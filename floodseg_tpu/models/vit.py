@@ -202,11 +202,33 @@ class MaskTransformer(nn.Module):
         return masks.reshape(b, gs, gw, self.n_cls)
 
 
+class DecoderLinear(nn.Module):
+    """Linear patch classifier: one Dense over encoder tokens, reshaped to
+    the patch grid (reference segm/model/decoder.py:13-34). The cheap
+    alternative to MaskTransformer in the Segmenter paper's ablations."""
+
+    n_cls: int
+    patch_size: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, im_size, train: bool = False):
+        """(B, N, D_enc) patch tokens -> (B, H/P, W/P, n_cls) logits."""
+        h, _ = im_size
+        gs = h // self.patch_size
+        x = nn.Dense(self.n_cls, dtype=self.dtype, param_dtype=jnp.float32,
+                     precision="highest", name="head")(x)
+        b, n, c = x.shape
+        return x.reshape(b, gs, n // gs, c)
+
+
 class SegmenterViT(nn.Module):
     """Full Segmenter: pad -> encode -> drop cls -> decode -> upsample -> unpad.
 
     Reference: segm/model/segmenter.py:32-48 via model/vit.py (patch 32,
-    d_model 768, 12 enc layers, 2 dec layers).
+    d_model 768, 12 enc layers, 2 dec layers). ``decoder_type`` selects the
+    MaskTransformer (default) or the linear decoder
+    (segm/model/factory.py decoder name "linear").
     """
 
     classes: int = 5
@@ -215,27 +237,36 @@ class SegmenterViT(nn.Module):
     d_model: int = 768
     n_layers: int = 12
     dec_layers: int = 2
+    n_heads: Optional[int] = None   # default: d_model // 64 (ViT-B heads)
     dropout: float = 0.1
+    decoder_type: str = "mask_transformer"  # "mask_transformer" | "linear"
     with_rep: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None  # unused (no BN); kept for a uniform API
 
     def setup(self):
+        heads = self.n_heads or self.d_model // 64
         self.encoder = VisionTransformer(
             image_size=self.image_size, patch_size=self.patch_size,
             n_layers=self.n_layers, d_model=self.d_model,
-            n_heads=self.d_model // 64, dropout=self.dropout, dtype=self.dtype,
+            n_heads=heads, dropout=self.dropout, dtype=self.dtype,
             name="encoder",
         )
-        self.decoder = MaskTransformer(
-            n_cls=self.classes, patch_size=self.patch_size, d_model=self.d_model,
-            n_layers=self.dec_layers, n_heads=self.d_model // 64,
-            dropout=self.dropout, dtype=self.dtype, name="decoder",
-        )
+        if self.decoder_type == "linear":
+            self.decoder = DecoderLinear(
+                n_cls=self.classes, patch_size=self.patch_size,
+                dtype=self.dtype, name="decoder",
+            )
+        else:
+            self.decoder = MaskTransformer(
+                n_cls=self.classes, patch_size=self.patch_size, d_model=self.d_model,
+                n_layers=self.dec_layers, n_heads=heads,
+                dropout=self.dropout, dtype=self.dtype, name="decoder",
+            )
         if self.with_rep:
             self.rep_decoder = MaskTransformer(
                 n_cls=256, patch_size=self.patch_size, d_model=self.d_model,
-                n_layers=1, n_heads=self.d_model // 64, dropout=self.dropout,
+                n_layers=1, n_heads=heads, dropout=self.dropout,
                 dtype=self.dtype, name="rep",
             )
 

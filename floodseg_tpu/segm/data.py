@@ -42,11 +42,32 @@ def build_train_pipeline(im_size: int, crop_size: int,
     ])
 
 
+class ResizeShortSide:
+    """Resize frames so the short side equals ``size`` (aspect preserved),
+    leaving the label untouched at its original annotation resolution — the
+    mmseg eval protocol (reference segm/data/base.py test pipeline +
+    segm/eval/miou.py): mIoU is computed at ori_shape by resizing the
+    predicted probability map back, never by resampling the label."""
+
+    def __init__(self, size: int):
+        self.size = int(size)
+
+    def __call__(self, sample, rng):
+        import cv2
+        im = sample["frame_current"]
+        h, w = im.shape[:2]
+        s = self.size / min(h, w)
+        nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
+        sample["frame_current"] = cv2.resize(
+            im, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        return sample
+
+
 def build_eval_pipeline(im_size: int) -> Compose:
-    """Resize so the short side matches ``im_size`` is approximated by a
-    plain (im_size, im_size) resize — evaluation then slides windows."""
+    """Short-side resize (aspect preserved, label kept at ori resolution) +
+    normalize; evaluation slides windows and scores at the label's shape."""
     return Compose([
-        Resize((im_size, im_size)),
+        ResizeShortSide(im_size),
         Normalize(MEAN, STD),
     ])
 

@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--d-model", type=int, default=768)
     p.add_argument("--n-layers", type=int, default=12)
     p.add_argument("--dec-layers", type=int, default=2)
+    p.add_argument("--decoder", default="mask_transformer",
+                   choices=["mask_transformer", "linear"],
+                   help="MaskTransformer or the linear patch classifier "
+                        "(reference segm/model/decoder.py:13-34)")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--batch-size", type=int, default=8,
                    help="per-device; the global batch is batch * n_devices")
@@ -100,7 +104,8 @@ def main(argv=None):
     model = SegmenterViT(
         classes=args.n_cls, image_size=crop, patch_size=args.patch_size,
         d_model=args.d_model, n_layers=args.n_layers,
-        dec_layers=args.dec_layers, dropout=args.dropout,
+        dec_layers=args.dec_layers, decoder_type=args.decoder,
+        dropout=args.dropout,
         dtype=jnp.bfloat16 if args.amp else jnp.float32)
     rng = jax.random.PRNGKey(args.seed)
     max_iter = steps_per_epoch * args.epochs
@@ -152,7 +157,9 @@ def main(argv=None):
         print(f"Epoch {epoch}: {logger} ({time.time() - t0:.1f}s)",
               flush=True)
 
-        val_miou = float("-inf")
+        # epochs without an eval save ONLY last-{epoch}: passing no monitor
+        # key keeps un-evaluated models out of the top-k index / best_path
+        metrics = {}
         if val_ds is not None and (epoch + 1) % args.eval_freq == 0:
             meter = MetricMeter(args.n_cls)
             erng = np.random.default_rng(0)
@@ -160,18 +167,22 @@ def main(argv=None):
                 s = val_ds.get(i, erng)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
+                # mmseg protocol: the label stays at its original annotation
+                # resolution; the probability map is resized back to
+                # ori_shape before scoring (reference segm/eval/miou.py)
                 prob = sliding_inference(fwd, variables, s["frame_current"],
-                                         args.n_cls, window, stride)
+                                         args.n_cls, window, stride,
+                                         ori_shape=tuple(s["label"].shape))
                 pred = prob.argmax(-1)
                 inter, union, tgt = intersection_and_union(
                     jnp.asarray(pred), jnp.asarray(s["label"]), args.n_cls,
                     IGNORE_LABEL)
                 meter.update(inter, union, tgt)
             summ = meter.summary()
-            val_miou = summ["miou"]
-            print(f"Eval [{epoch}]: mean_iou {val_miou:.4f} "
+            metrics["val_miou"] = summ["miou"]
+            print(f"Eval [{epoch}]: mean_iou {summ['miou']:.4f} "
                   f"mean_acc {summ['macc']:.4f}", flush=True)
-        ckpt.save(state, epoch, {"val_miou": val_miou})
+        ckpt.save(state, epoch, metrics)
     ckpt.wait()
     return 0
 

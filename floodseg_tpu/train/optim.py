@@ -21,8 +21,14 @@ BACKBONE_KEYS = ("backbone", "encoder")
 
 
 def poly_schedule(base_lr: float, max_iter: int, power: float = 0.9) -> Callable:
+    """lr at optimizer step k (0-indexed) = base * (1 - k/max)^power.
+
+    Matches the reference exactly: param groups START at base_lr
+    (supervised.py:104-106) and learning_rate_step runs AFTER opt.step()
+    with curr_iter = global_step + 1 (foundation.py:124-132) — so step k
+    uses poly(base, k, max), and step 0 uses the unscaled base LR."""
     def schedule(step):
-        frac = 1.0 - jax.numpy.minimum(step + 1, max_iter) / max_iter
+        frac = 1.0 - jax.numpy.minimum(step, max_iter) / max_iter
         return base_lr * frac ** power
     return schedule
 

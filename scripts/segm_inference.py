@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--d-model", type=int, default=768)
     p.add_argument("--n-layers", type=int, default=12)
     p.add_argument("--dec-layers", type=int, default=2)
+    p.add_argument("--decoder", default="mask_transformer",
+                   choices=["mask_transformer", "linear"])
     p.add_argument("--colors", default=None)
     p.add_argument("--blend", type=float, default=0.5)
     p.add_argument("--ann-dir", default=None,
@@ -61,7 +63,8 @@ def main(argv=None):
     stride = args.window_stride or max(1, window - 32)
     model = SegmenterViT(classes=args.n_cls, image_size=window,
                          patch_size=args.patch_size, d_model=args.d_model,
-                         n_layers=args.n_layers, dec_layers=args.dec_layers)
+                         n_layers=args.n_layers, dec_layers=args.dec_layers,
+                         decoder_type=args.decoder)
     x0 = jnp.zeros((1, window, window, 3), jnp.float32)
     variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(0)}, x0, train=False))()
@@ -87,7 +90,11 @@ def main(argv=None):
     for name in names:
         pil = Image.open(os.path.join(args.input_dir, name)).convert("RGB")
         ori = np.asarray(pil)
-        im = pil.resize((args.image_size, args.image_size))
+        # short-side resize (aspect preserved) — mmseg test protocol; the
+        # probability map is resized back to ori_shape before argmax/score
+        sc = args.image_size / min(ori.shape[:2])
+        im = pil.resize((max(1, round(ori.shape[1] * sc)),
+                         max(1, round(ori.shape[0] * sc))))
         x = (np.asarray(im, np.float32) - mean) / std
         prob = sliding_inference(fwd, variables, x, args.n_cls, window,
                                  stride, ori_shape=ori.shape[:2])

@@ -143,6 +143,29 @@ def test_segm_train_cli_smoke(seg_root, tmp_path):
     assert main(argv + ["--epochs", "3"]) == 0
 
 
+@pytest.mark.slow
+def test_segm_train_cli_linear_decoder(seg_root, tmp_path):
+    """--decoder linear trains and evaluates end-to-end (reference
+    DecoderLinear, segm/model/decoder.py:13-34)."""
+    from floodseg_tpu.segm.train import main
+
+    argv = [
+        "--log-dir", str(tmp_path / "logs_lin"),
+        "--img-dir", os.path.join(seg_root, "images", "training"),
+        "--ann-dir", os.path.join(seg_root, "annotations", "training"),
+        "--val-img-dir", os.path.join(seg_root, "images", "validation"),
+        "--val-ann-dir", os.path.join(seg_root, "annotations", "validation"),
+        "--n-cls", "4", "--im-size", "64", "--crop-size", "32",
+        "--window-size", "32", "--window-stride", "16",
+        "--patch-size", "16", "--d-model", "64", "--n-layers", "1",
+        "--decoder", "linear", "--batch-size", "2", "--epochs", "1",
+        "--num-devices", "1", "--workers", "2",
+    ]
+    assert main(argv) == 0
+    ckpts = os.listdir(tmp_path / "logs_lin" / "checkpoints")
+    assert "last" in ckpts
+
+
 def test_prepare_cityscapes_conversion(tmp_path):
     """labelIds -> 19 trainIds conversion + flattened folder layout."""
     import subprocess

@@ -35,13 +35,15 @@ def test_sgd_poly_head10_matches_torch():
         lr=base_lr, momentum=mom, weight_decay=wd,
     )
     for it, g in enumerate(grads):
-        lr = base_lr * (1 - (it + 1) / max_iter) ** 0.9
-        opt.param_groups[0]["lr"] = lr
-        opt.param_groups[1]["lr"] = lr * 10
         opt.zero_grad()
         tp_back.grad = torch.from_numpy(g["backbone"]["k"])
         tp_head.grad = torch.from_numpy(g["cls"]["k"])
         opt.step()
+        # the reference updates the LR AFTER the step (foundation.py:124-132
+        # with curr_iter = global_step + 1): step 0 ran at the base LR
+        lr = base_lr * (1 - (it + 1) / max_iter) ** 0.9
+        opt.param_groups[0]["lr"] = lr
+        opt.param_groups[1]["lr"] = lr * 10
 
     # ours
     params = {"backbone": {"k": jnp.asarray(w_back)}, "cls": {"k": jnp.asarray(w_head)}}
@@ -61,10 +63,13 @@ def test_sgd_poly_head10_matches_torch():
 def test_poly_schedule_matches_reference():
     from floodseg_tpu.train.optim import poly_schedule
     sched = poly_schedule(0.01, 100, 0.9)
-    # reference: poly_learning_rate(base, curr_iter=total_idx+1, max_iter)
+    # reference sequence: step k runs at poly(base, k, max) — groups start
+    # at base (supervised.py:104-106) and the update happens post-step
     for step in [0, 10, 50, 98]:
-        ref = 0.01 * (1 - (step + 1) / 100) ** 0.9
+        ref = 0.01 * (1 - step / 100) ** 0.9
         assert abs(float(sched(step)) - ref) < 1e-6  # f32 schedule eval
+    # first step at the unscaled base LR (up to f32 representation)
+    assert abs(float(sched(0)) - 0.01) < 1e-8
 
 
 @pytest.fixture(scope="module")

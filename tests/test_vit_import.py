@@ -83,3 +83,66 @@ def test_vit_converter_forward_parity():
     )({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x)))
 
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_linear_converter_parity():
+    """DecoderLinear (reference segm/model/decoder.py:13-34): Linear head
+    over patch tokens + reshape to the patch grid, through the full
+    Segmenter wrapper (encode -> drop cls -> decode -> upsample)."""
+    from floodseg_tpu.models.vit import SegmenterViT, DecoderLinear
+    from floodseg_tpu.models.torch_import import convert_segmenter_state_dict
+
+    g = torch.Generator().manual_seed(1)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.1
+
+    n_cls = 5
+    n_patches = (IMG // PATCH) ** 2
+    sd = {
+        "patch_embed.proj.weight": t(D, 3, PATCH, PATCH),
+        "patch_embed.proj.bias": t(D),
+        "cls_token": t(1, 1, D),
+        "pos_embed": t(1, n_patches + 1, D),
+        "norm.weight": 1 + t(D), "norm.bias": t(D),
+    }
+    for i in range(LAYERS):
+        p = f"blocks.{i}"
+        sd.update({
+            f"{p}.norm1.weight": 1 + t(D), f"{p}.norm1.bias": t(D),
+            f"{p}.attn.qkv.weight": t(3 * D, D), f"{p}.attn.qkv.bias": t(3 * D),
+            f"{p}.attn.proj.weight": t(D, D), f"{p}.attn.proj.bias": t(D),
+            f"{p}.norm2.weight": 1 + t(D), f"{p}.norm2.bias": t(D),
+            f"{p}.mlp.fc1.weight": t(4 * D, D), f"{p}.mlp.fc1.bias": t(4 * D),
+            f"{p}.mlp.fc2.weight": t(D, 4 * D), f"{p}.mlp.fc2.bias": t(D),
+        })
+    head_w, head_b = t(n_cls, D), t(n_cls)
+
+    x = np.random.default_rng(1).standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        # reference Segmenter.forward (segm/model/segmenter.py:32-48) with
+        # DecoderLinear: encode, drop cls token, head, grid, upsample
+        feats = _torch_vit_forward(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        patches = feats[:, 1:]
+        logits = F.linear(patches, head_w, head_b)       # decoder.head
+        gs = IMG // PATCH
+        logits = logits.transpose(1, 2).reshape(2, n_cls, gs, gs)
+        ref = F.interpolate(logits, size=(IMG, IMG), mode="bilinear",
+                            align_corners=False).numpy().transpose(0, 2, 3, 1)
+
+    model = SegmenterViT(classes=n_cls, image_size=IMG, patch_size=PATCH,
+                         d_model=D, n_layers=LAYERS, n_heads=HEADS,
+                         dropout=0.0, decoder_type="linear")
+    full_sd = {f"model.encoder.{k}": v for k, v in sd.items()}
+    full_sd["model.decoder.head.weight"] = head_w
+    full_sd["model.decoder.head.bias"] = head_b
+    variables = convert_segmenter_state_dict(full_sd, n_layers=LAYERS,
+                                             decoder="linear")
+    ours = np.asarray(jax.jit(
+        lambda v, y: model.apply(v, y, train=False)
+    )(jax.tree.map(jnp.asarray, variables), jnp.asarray(x))["pred"])
+
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    # the flax module tree really is the linear decoder (one Dense)
+    assert set(variables["params"]["decoder"]) == {"head"}
+    assert isinstance(model, SegmenterViT) and DecoderLinear is not None
