@@ -222,6 +222,35 @@ class DecoderLinear(nn.Module):
         return x.reshape(b, gs, n // gs, c)
 
 
+class ViTClassifier(nn.Module):
+    """ViT image classifier: encoder cls token -> Linear head. The model
+    shape the reference's classification-accuracy eval drives
+    (segm/eval/accuracy.py via segm/model/factory.py create_vit — a timm
+    ViT with its classification head)."""
+
+    n_cls: int = 1000
+    image_size: int = 224
+    patch_size: int = 16
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = VisionTransformer(
+            image_size=self.image_size, patch_size=self.patch_size,
+            n_layers=self.n_layers, d_model=self.d_model,
+            n_heads=self.n_heads or self.d_model // 64,
+            dropout=self.dropout, dtype=self.dtype, name="encoder",
+        )(x, train)
+        cls_token = feats[:, 0]
+        return nn.Dense(self.n_cls, dtype=self.dtype,
+                        param_dtype=jnp.float32, precision="highest",
+                        name="head")(cls_token)
+
+
 class SegmenterViT(nn.Module):
     """Full Segmenter: pad -> encode -> drop cls -> decode -> upsample -> unpad.
 

@@ -7,6 +7,7 @@ counts pixels where pred == target per class. Epoch aggregation (mIoU, mAcc,
 allAcc) mirrors /root/reference/base/foundation.py:135-172.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,24 @@ def intersection_and_union(
         area_union.astype(jnp.float32),
         area_target.astype(jnp.float32),
     )
+
+
+def topk_accuracy(logits: jnp.ndarray, targets: jnp.ndarray, topk=(1,)):
+    """Top-k classification accuracy percentages (reference
+    segm/metrics.py:18-36, the torch/examples imagenet recipe).
+
+    logits: (B, C); targets: (B,). Returns one float per k in ``topk``,
+    each in [0, 100].
+    """
+    maxk = max(topk)
+    # indices of the top maxk classes, best first
+    _, pred = jax.lax.top_k(logits, maxk)            # (B, maxk)
+    correct = pred == targets[:, None].astype(pred.dtype)
+    out = []
+    for k in topk:
+        out.append(jnp.sum(correct[:, :k]).astype(jnp.float32)
+                   * (100.0 / targets.shape[0]))
+    return out
 
 
 class MetricMeter:

@@ -72,6 +72,85 @@ def build_eval_pipeline(im_size: int) -> Compose:
     ])
 
 
+# reference segm/data/utils.py STATS: the [0,1]-range normalization pairs
+# used by the vendored Segmenter's classification pipeline
+CLS_STATS = {
+    "vit": {"mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)},
+    "deit": {"mean": (0.485, 0.456, 0.406), "std": (0.229, 0.224, 0.225)},
+}
+
+
+class ImageFolderClsDataset:
+    """Classification dataset over the torchvision ImageFolder convention
+    (root/<class_name>/*.jpg, classes sorted by name), as used by the
+    reference's ImagenetDataset (segm/data/imagenet.py).
+
+    val: short-side resize to im_size+32 (bicubic) + center crop + [0,1]
+    normalize; train: RandomResizedCrop + hflip (imagenet.py:33-48).
+    Items: {"im": (crop, crop, 3) float32 normalized, "target": int}.
+    """
+
+    def __init__(self, root: str, image_size: int = 224,
+                 crop_size: int = 224, split: str = "val",
+                 normalization: str = "vit"):
+        self.root = root
+        self.image_size = image_size
+        self.crop_size = crop_size
+        self.split = split
+        stats = CLS_STATS[normalization]
+        self.mean = np.asarray(stats["mean"], np.float32)
+        self.std = np.asarray(stats["std"], np.float32)
+        classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        if not classes:
+            raise FileNotFoundError(f"no class directories under {root}")
+        self.classes = classes
+        self.items = []
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        for ci, c in enumerate(classes):
+            cdir = os.path.join(root, c)
+            for f in sorted(os.listdir(cdir)):
+                if f.lower().endswith(exts):
+                    self.items.append((os.path.join(cdir, f), ci))
+        self.n_cls = len(classes)
+
+    def __len__(self):
+        return len(self.items)
+
+    def get(self, index: int, rng: np.random.Generator):
+        import cv2
+        path, target = self.items[index]
+        im = np.asarray(Image.open(path).convert("RGB"))
+        h, w = im.shape[:2]
+        cs = self.crop_size
+        if self.split == "train":
+            # RandomResizedCrop(scale 0.08-1, ratio 3/4-4/3) + hflip
+            for _ in range(10):
+                area = h * w * rng.uniform(0.08, 1.0)
+                ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+                cw = int(round(np.sqrt(area * ratio)))
+                ch = int(round(np.sqrt(area / ratio)))
+                if cw <= w and ch <= h:
+                    y0 = rng.integers(0, h - ch + 1)
+                    x0 = rng.integers(0, w - cw + 1)
+                    im = im[y0:y0 + ch, x0:x0 + cw]
+                    break
+            im = cv2.resize(im, (cs, cs), interpolation=cv2.INTER_CUBIC)
+            if rng.random() < 0.5:
+                im = im[:, ::-1]
+        else:
+            # Resize(image_size + 32, bicubic) short side + CenterCrop
+            s = (self.image_size + 32) / min(h, w)
+            nh, nw = int(round(h * s)), int(round(w * s))
+            im = cv2.resize(im, (nw, nh), interpolation=cv2.INTER_CUBIC)
+            y0 = max(0, (nh - cs) // 2)
+            x0 = max(0, (nw - cs) // 2)
+            im = im[y0:y0 + cs, x0:x0 + cs]
+        im = (im.astype(np.float32) / 255.0 - self.mean) / self.std
+        return {"im": np.ascontiguousarray(im), "target": np.int32(target)}
+
+
 class SegFolderDataset:
     """(image, mask) pairs from parallel directories.
 
@@ -120,3 +199,51 @@ class SegFolderDataset:
             sample = self.transform(sample, rng)
         sample["label"] = np.asarray(sample["label"], dtype=np.int32)
         return sample
+
+
+class SegListDataset(SegFolderDataset):
+    """(image, mask) pairs named by a split file of stems — the VOC-style
+    layout PascalContext uses (mmseg PascalContextDataset semantics).
+    Loading/transform behavior is SegFolderDataset's; only item discovery
+    differs."""
+
+    def __init__(self, img_dir: str, ann_dir: str, split_file: str,
+                 img_suffix: str = ".jpg", ann_suffix: str = ".png",
+                 transform: Optional[Callable] = None,
+                 reduce_zero_label: bool = False):
+        self.img_dir = img_dir
+        self.ann_dir = ann_dir
+        self.img_suffix = img_suffix
+        self.ann_suffix = ann_suffix
+        self.transform = transform
+        self.reduce_zero_label = reduce_zero_label
+        with open(split_file) as f:
+            stems = [ln.strip() for ln in f if ln.strip()]
+        self.items = [
+            s for s in stems
+            if os.path.exists(os.path.join(ann_dir, s + ann_suffix))
+        ]
+        if not self.items:
+            raise FileNotFoundError(
+                f"no annotated stems from {split_file} under {ann_dir}")
+
+
+def pascal_context_dataset(root: str, split: str = "train",
+                           transform: Optional[Callable] = None):
+    """PascalContext (60 classes, ignore 255) over the VOC2010 layout the
+    reference targets (segm/data/pascal_context.py): root/VOCdevkit/VOC2010
+    with JPEGImages, SegmentationClassContext and
+    ImageSets/SegmentationContext/{train,val}.txt. The test split is invalid
+    for Pascal Context, exactly like the reference raises."""
+    if split == "test":
+        raise ValueError("Test split is not valid for Pascal Context dataset")
+    voc = os.path.join(root, "VOCdevkit", "VOC2010")
+    ds = SegListDataset(
+        os.path.join(voc, "JPEGImages"),
+        os.path.join(voc, "SegmentationClassContext"),
+        os.path.join(voc, "ImageSets", "SegmentationContext", f"{split}.txt"),
+        transform=transform,
+    )
+    ds.n_cls = 60
+    ds.ignore_label = IGNORE_LABEL
+    return ds

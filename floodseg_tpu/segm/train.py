@@ -12,6 +12,7 @@ one compiled train step, metrics replicated over the mesh.
 """
 
 import argparse
+import json
 import os
 import time
 
@@ -183,6 +184,16 @@ def main(argv=None):
             print(f"Eval [{epoch}]: mean_iou {summ['miou']:.4f} "
                   f"mean_acc {summ['macc']:.4f}", flush=True)
         ckpt.save(state, epoch, metrics)
+
+        # JSONL epoch log, one dict per line (the reference's log.txt that
+        # segm/utils/logs.py plots; read back by scripts/segm_plot_logs.py)
+        entry = {"epoch": epoch,
+                 "train_loss": logger.meters["loss"].global_avg}
+        if "val_miou" in metrics:
+            entry["val_mean_iou"] = metrics["val_miou"]
+            entry["val_mean_acc"] = summ["macc"]
+        with open(os.path.join(args.log_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
     ckpt.wait()
     return 0
 

@@ -143,8 +143,146 @@ def test_segm_train_cli_smoke(seg_root, tmp_path):
     assert main(argv + ["--epochs", "3"]) == 0
 
 
+def test_topk_accuracy_matches_torch_recipe():
+    """topk_accuracy vs the torch recipe the reference quotes
+    (segm/metrics.py:18-36, pytorch/examples imagenet)."""
+    import torch
+    import jax.numpy as jnp
+    from floodseg_tpu.ops.metrics import topk_accuracy
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((16, 10)).astype(np.float32)
+    targets = rng.integers(0, 10, (16,))
+
+    output, target = torch.from_numpy(logits), torch.from_numpy(targets)
+    maxk = 5
+    _, pred = output.topk(maxk, 1, True, True)
+    pred = pred.t()
+    correct = pred.eq(target.view(1, -1).expand_as(pred))
+    want = [float(correct[:k].reshape(-1).float().sum(0) * 100.0 / 16)
+            for k in (1, 5)]
+
+    got = topk_accuracy(jnp.asarray(logits), jnp.asarray(targets), (1, 5))
+    np.testing.assert_allclose([float(g) for g in got], want)
+
+
+@pytest.fixture(scope="module")
+def cls_root(tmp_path_factory):
+    """ImageFolder layout: 3 classes x 4 images of distinct mean colors."""
+    root = tmp_path_factory.mktemp("clsdata")
+    rng = np.random.default_rng(0)
+    for ci, cname in enumerate(["apple", "boat", "cat"]):
+        d = root / cname
+        d.mkdir()
+        for i in range(4):
+            im = np.full((70, 90, 3), 60 * ci, np.uint8)
+            im += rng.integers(0, 20, im.shape, dtype=np.uint8)
+            Image.fromarray(im).save(d / f"{i}.jpg")
+    return str(root)
+
+
+def test_image_folder_cls_dataset(cls_root):
+    from floodseg_tpu.segm.data import ImageFolderClsDataset
+
+    ds = ImageFolderClsDataset(cls_root, image_size=32, crop_size=32,
+                               split="val")
+    assert len(ds) == 12 and ds.n_cls == 3
+    assert ds.classes == ["apple", "boat", "cat"]
+    rng = np.random.default_rng(0)
+    s = ds.get(0, rng)
+    assert s["im"].shape == (32, 32, 3) and s["im"].dtype == np.float32
+    assert int(s["target"]) == 0
+    assert int(ds.get(11, rng)["target"]) == 2
+    # train split: random-resized crop still yields the fixed crop size
+    ds_t = ImageFolderClsDataset(cls_root, image_size=32, crop_size=32,
+                                 split="train")
+    assert ds_t.get(5, rng)["im"].shape == (32, 32, 3)
+
+
+def test_segm_accuracy_cli(cls_root, capsys):
+    """scripts/segm_accuracy.py end-to-end (reference segm/eval/accuracy.py
+    surface): folder -> ViT classifier -> top-1/top-5 report."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "segm_accuracy", os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "segm_accuracy.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main(["--data-dir", cls_root, "--n-cls", "3",
+                   "--image-size", "32", "--patch-size", "16",
+                   "--d-model", "64", "--n-layers", "1",
+                   "-bs", "4", "-nw", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top1" in out and "top3" in out  # top-k clamps to n_cls=3
+
+
+def test_pascal_context_layout(tmp_path):
+    """pascal_context_dataset over the VOC2010 layout
+    (reference segm/data/pascal_context.py): split files select stems; the
+    test split raises exactly like the reference."""
+    from floodseg_tpu.segm.data import pascal_context_dataset
+
+    voc = tmp_path / "VOCdevkit" / "VOC2010"
+    (voc / "JPEGImages").mkdir(parents=True)
+    (voc / "SegmentationClassContext").mkdir()
+    splits = voc / "ImageSets" / "SegmentationContext"
+    splits.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for stem in ["2008_000001", "2008_000002", "2008_000003"]:
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(voc / "JPEGImages" / f"{stem}.jpg")
+        Image.fromarray(rng.integers(0, 60, (40, 40), dtype=np.uint8)
+                        ).save(voc / "SegmentationClassContext" / f"{stem}.png")
+    (splits / "train.txt").write_text("2008_000001\n2008_000002\n")
+    (splits / "val.txt").write_text("2008_000003\n")
+
+    tr = pascal_context_dataset(str(tmp_path), "train")
+    va = pascal_context_dataset(str(tmp_path), "val")
+    assert len(tr) == 2 and len(va) == 1
+    assert tr.n_cls == 60 and tr.ignore_label == 255
+    s = tr.get(0, np.random.default_rng(0))
+    assert s["frame_current"].shape == (40, 40, 3)
+    assert s["label"].shape == (40, 40)
+    with pytest.raises(ValueError):
+        pascal_context_dataset(str(tmp_path), "test")
+
+
+def test_plot_logs_cli(tmp_path, capsys):
+    """scripts/segm_plot_logs.py (reference segm/utils/logs.py surface):
+    JSONL run logs -> latest-value report + saved figure."""
+    import importlib.util
+    import json as _json
+    for run, mious in (("a", [0.1, 0.3]), ("b", [0.2, 0.25])):
+        d = tmp_path / run
+        d.mkdir()
+        with open(d / "log.txt", "w") as f:
+            for ep, m in enumerate(mious):
+                f.write(_json.dumps({"epoch": ep, "train_loss": 1.0 - m,
+                                     "val_mean_iou": m}) + "\n")
+    spec = importlib.util.spec_from_file_location(
+        "segm_plot_logs", os.path.join(os.path.dirname(__file__), "..",
+                                       "scripts", "segm_plot_logs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_png = tmp_path / "plot.png"
+    rc = mod.main([str(tmp_path / "a"), str(tmp_path / "b"),
+                   "-o", str(out_png)])
+    assert rc == 0
+    assert out_png.exists() and out_png.stat().st_size > 0
+    printed = capsys.readouterr().out
+    assert "val_mean_iou: 0.3000" in printed
+    # config-file mode with a missing log is skipped with a notice
+    cfg = tmp_path / "plots.yaml"
+    cfg.write_text("root: %s\nlogs: {a: a/log.txt, ghost: nope/log.txt}\n"
+                   % tmp_path)
+    rc = mod.main(["--config", str(cfg), "--no-plot"])
+    assert rc == 0
+    assert "Skipping ghost" in capsys.readouterr().out
+
+
 @pytest.mark.slow
-def test_segm_train_cli_linear_decoder(seg_root, tmp_path):
+def test_segm_train_cli_linear_decoder(tmp_path, seg_root):
     """--decoder linear trains and evaluates end-to-end (reference
     DecoderLinear, segm/model/decoder.py:13-34)."""
     from floodseg_tpu.segm.train import main
