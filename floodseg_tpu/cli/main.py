@@ -59,9 +59,23 @@ def main(argv=None):
     if os.environ.get("FLOODSEG_MULTIHOST"):
         # multi-host TPU pods: one process per host, XLA collectives over
         # ICI/DCN (replaces the reference's SLURM+NCCL rendezvous,
-        # u2pl/utils/dist_helper.py:10-43)
+        # u2pl/utils/dist_helper.py:10-43 — which likewise reads the
+        # cluster env and calls init_process_group). On TPU pods the
+        # coordinator auto-detects; FLOODSEG_COORDINATOR/NUM_PROCESSES/
+        # PROCESS_ID override for explicit rendezvous (the MASTER_ADDR/
+        # MASTER_PORT/RANK/WORLD_SIZE equivalents).
         import jax
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("FLOODSEG_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["FLOODSEG_COORDINATOR"],
+                num_processes=int(os.environ.get("FLOODSEG_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("FLOODSEG_PROCESS_ID", "0")),
+            )
+        jax.distributed.initialize(**kw)
+        print(f"[multihost] jax.distributed initialized: "
+              f"process {jax.process_index()}/{jax.process_count()}",
+              flush=True)
     if cfg.trainer.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)

@@ -689,6 +689,17 @@ class Runner:
         tf = self._transforms()
         results = {}
         meters = {}
+        # prediction-image table (reference LogWandBPredictionsCallback,
+        # base/cli.py:24-65): collect (image, colorized gt, prediction)
+        table_rows = []
+        table_colors = None
+        if cfg.trainer.log_test_images:
+            cp = os.path.join(cfg.data.data_root, "list", "colors.txt")
+            if os.path.exists(cp):
+                pal = np.loadtxt(cp).astype(np.uint8)
+                # pad to 256 entries so ignore-index pixels render black
+                table_colors = np.zeros((256, 3), np.uint8)
+                table_colors[: len(pal)] = pal
         # build the jitted test programs ONCE — they are shape-stable across
         # both held-out video lists, so per-list rebuilds only re-trace
         if self.is_flow:
@@ -743,6 +754,19 @@ class Runner:
                         jnp.asarray(pred), jnp.asarray(label), self.num_classes,
                         cfg.model.ignore_index)
                     meter.update(i, u, t)
+                    if (table_colors is not None
+                            and len(table_rows) < cfg.trainer.log_test_images):
+                        key = ("frame_current" if "frame_current" in sub
+                               else "frame_prev")
+                        frame = np.asarray(sub[key])[0]
+                        if self.is_flow:  # flow test pipeline normalizes
+                            from floodseg_tpu.data.transforms import MEAN, STD
+                            frame = frame * STD + MEAN
+                        table_rows.append([
+                            np.clip(frame, 0, 255).astype(np.uint8),
+                            table_colors[np.asarray(label, np.int64)],
+                            table_colors[np.asarray(pred, np.int64)],
+                        ])
             meters[idx] = meter
             s = meter.summary()
             results[f"test_miou{idx + 1}_epoch"] = s["miou"]
@@ -752,6 +776,11 @@ class Runner:
         if "test_miou2_epoch" in results:
             results["test_miou_epoch"] = (results["test_miou1_epoch"]
                                           + results["test_miou2_epoch"]) / 2
+        if table_rows:
+            # uploaded as one table at test end (base/cli.py:64-65)
+            self.logger.log_image_table(
+                "test_outputs", ["image", "ground truth", "prediction"],
+                table_rows)
         self.logger.update_summary(results)
         return results
 

@@ -148,6 +148,10 @@ class TrainerConfig:
     early_stopping_patience: int = 10
     early_stopping_min_delta: float = 1e-3
     save_top_k: int = 5
+    # test-output image table (reference LogWandBPredictionsCallback,
+    # base/cli.py:24-65 — constructed there but not registered by default;
+    # 0 keeps that default): rows of (image, colorized gt, prediction)
+    log_test_images: int = 0
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
     limit_test_batches: Optional[int] = None

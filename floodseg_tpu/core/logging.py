@@ -46,6 +46,27 @@ class RunLogger:
         if self._wandb is not None:
             self._wandb.log(scalars, step=step)
 
+    def log_image_table(self, key: str, columns, rows):
+        """Table of images (reference LogWandBPredictionsCallback,
+        base/cli.py:24-65: test image / colorized gt / colorized prediction
+        rows uploaded at test end). rows: [[np.uint8 HWC image, ...], ...].
+        W&B gets a wandb.Table; without W&B the rows are saved as PNGs under
+        <log_dir>/<key>/ so the artifact exists either way."""
+        if self._wandb is not None:
+            import wandb
+            table = wandb.Table(
+                columns=list(columns),
+                data=[[wandb.Image(c) for c in row] for row in rows])
+            self._wandb.log({key: table})
+            return
+        from PIL import Image
+        out = os.path.join(self.log_dir, key)
+        os.makedirs(out, exist_ok=True)
+        for i, row in enumerate(rows):
+            for col, cell in zip(columns, row):
+                Image.fromarray(cell).save(
+                    os.path.join(out, f"{i:03d}_{col.replace(' ', '_')}.png"))
+
     def update_summary(self, values: Dict):
         self.summary.update(values)
         if self._wandb is not None:

@@ -143,13 +143,23 @@ def run_predict(
                     meter.update(inter, union, tgt)
             last_output = out_np[n - 1]
 
-        frame_id = int(np.asarray(batch["frame_id"])[0]) if "frame_id" in batch else frames_done - n
+        # per-frame ids derive from EACH clip's own frame_id: a multi-clip
+        # (DP) batch yields n = n_clips * frames_per_clip outputs, and
+        # nothing guarantees the clips are consecutive — numbering from the
+        # first clip's id alone would silently mislabel frames
+        if "frame_id" in batch:
+            fids = np.asarray(batch["frame_id"]).reshape(-1)
+        else:
+            fids = np.asarray([frames_done - n])
+        assert n % len(fids) == 0, (n, len(fids))
+        n_per_clip = n // len(fids)
         for p in range(n):
+            fid = int(fids[p // n_per_clip]) + p % n_per_clip
             if save_images_dir is not None and colors is not None:
                 from PIL import Image
                 img = Image.fromarray(out_np[p], mode="P")
                 img.putpalette(colors.astype(np.uint8).flatten().tolist())
-                img.save(os.path.join(save_images_dir, f"{frame_id + p}.png"))
+                img.save(os.path.join(save_images_dir, f"{fid}.png"))
             if writer is not None and colors is not None:
                 writer.append_data(colorize(out_np[p], colors))
 

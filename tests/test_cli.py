@@ -356,6 +356,55 @@ def test_normalize_on_device_matches_host(tmp_path, synth_root):
                                    rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
+def test_log_test_images_table(tmp_path, synth_root):
+    """trainer.log_test_images collects (image, colorized gt, prediction)
+    rows at test time (reference LogWandBPredictionsCallback,
+    base/cli.py:24-65); without W&B they are saved as PNG artifacts."""
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    cfg = load_config([path], {"trainer.run_name": "t_imgs",
+                               "trainer.log_test_images": "2",
+                               "trainer.limit_test_batches": "2"})
+    runner = Runner(cfg)
+    state, _, _ = runner._build_states_and_steps(max_iter=1)
+    runner.test(state)
+    out = tmp_path / "logs" / "t_imgs" / "test_outputs"
+    files = sorted(os.listdir(out))
+    assert "000_image.png" in files and "000_prediction.png" in files
+    assert "001_ground_truth.png" in files
+    assert len(files) == 6  # 2 rows x 3 columns
+
+
+@pytest.mark.slow
+def test_multihost_entry_initializes(tmp_path, synth_root):
+    """FLOODSEG_MULTIHOST=1 routes through jax.distributed.initialize with
+    an explicit single-process rendezvous (the reference's env-driven NCCL
+    init, u2pl/utils/dist_helper.py:10-43) and the CLI still works."""
+    import subprocess
+    import sys
+
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = os.environ.copy()
+    env.update({
+        "FLOODSEG_MULTIHOST": "1",
+        "FLOODSEG_COORDINATOR": "localhost:12655",
+        "FLOODSEG_NUM_PROCESSES": "1",
+        "FLOODSEG_PROCESS_ID": "0",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": root + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    res = subprocess.run(
+        [sys.executable, "-m", "floodseg_tpu.cli.main", "validate",
+         "--config", path, "--trainer.run_name", "t_mh"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "[multihost] jax.distributed initialized: process 0/1" in res.stdout
+
+
 def test_check_val_every_n_epoch(tmp_path, synth_root, monkeypatch):
     """trainer.check_val_every_n_epoch skips validation (and the named
     top-k checkpoint) on off epochs, like the Lightning Trainer honoring

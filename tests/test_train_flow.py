@@ -118,6 +118,76 @@ def test_flow_sliding_window_test(synth_root, model_and_state):
     assert pred.min() >= 0 and pred.max() < 5
 
 
+def test_predict_frame_ids_per_clip(tmp_path):
+    """PNG naming derives from EACH clip's frame_id: a multi-clip (DP)
+    batch of NON-consecutive clips must not be numbered from the first
+    clip's id (train/predict.py)."""
+    colors = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                       [0, 0, 255], [9, 9, 9]], np.uint8)
+    n_per = 3
+
+    def fake_fn(variables, fp, fn_, ml, mr):
+        return jnp.zeros((fp.shape[0] * n_per, 8, 8), jnp.int32)
+
+    batch = {
+        "frame_prev": np.zeros((2, 8, 8, 3), np.float32),
+        "frame_next": np.zeros((2, 8, 8, 3), np.float32),
+        "mvs_left": np.zeros((n_per - 1, 2, 2, 2, 2), np.float32),
+        "mvs_right": np.zeros((n_per - 1, 2, 2, 2, 2), np.float32),
+        "frame_id": np.array([100, 400]),  # clips NOT consecutive
+    }
+    out_dir = tmp_path / "frames"
+    summary = run_predict(fake_fn, None, [batch], 5, colors=colors,
+                          save_images_dir=str(out_dir),
+                          compute_metrics=False)
+    assert summary["frames"] == 6
+    assert sorted(os.listdir(out_dir)) == [
+        "100.png", "101.png", "102.png", "400.png", "401.png", "402.png"]
+
+
+@pytest.mark.slow
+def test_profile_predict_phases_matches_fused(synth_root, model_and_state):
+    """The profiling phase pipeline (predict_encoder/warp/fusion/decoder —
+    the reference's profiler regions, flow/model.py:119-179) produces the
+    SAME class maps as the fused production program, and reports a positive
+    mean time per region."""
+    from floodseg_tpu.train.flow import profile_predict_phases
+
+    model, state = model_and_state
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = FlowDataset("predict", synth_root, type="u",
+                     transform=build_test_transform(resize=(96, 128),
+                                                    normalize=True),
+                     frame_delta=DELTA, predict_v_id="synth")
+    batch = next(iter(DataLoader(ds, batch_size=1, num_workers=1)))
+    dg = ds.default_grid
+
+    times = profile_predict_phases(model, variables, batch, n=DELTA,
+                                   out_size=(96, 128), default_grid=dg,
+                                   repeats=2)
+    assert set(times) == {"predict_encoder", "predict_warp",
+                          "predict_fusion", "predict_decoder"}
+    assert all(t > 0 for t in times.values())
+
+    # phase-by-phase output == fused program output
+    from floodseg_tpu.train.flow import make_flow_phase_fns
+    fns = make_flow_phase_fns(model, DELTA, out_size=(96, 128),
+                              default_grid=dg)
+    fp, fn_ = jnp.asarray(batch["frame_prev"]), jnp.asarray(batch["frame_next"])
+    ml, mr = jnp.asarray(batch["mvs_left"]), jnp.asarray(batch["mvs_right"])
+    f = fns["encode"](variables, fp)
+    f2 = fns["encode"](variables, fn_)
+    fwd = fns["warp_chain"](f, ml)
+    bwd = fns["warp_chain"](f2, mr)
+    maps = fns["fuse"](f, f2, fwd, bwd)
+    phased = np.asarray(fns["decode"](variables, maps))
+
+    fused = make_flow_predict_fn(model, n=DELTA, out_size=(96, 128),
+                                 default_grid=dg)
+    want = np.asarray(fused(variables, fp, fn_, ml, mr))
+    np.testing.assert_array_equal(phased, want)
+
+
 @pytest.mark.slow
 def test_cached_predict_matches_full(synth_root, model_and_state):
     """Key-feature reuse across consecutive windows is bit-identical to
