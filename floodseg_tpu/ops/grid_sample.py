@@ -24,7 +24,9 @@ _MATMUL_MAX_BYTES = 64 * 1024 * 1024
 def _tap_indices_weights(x_shape, grid, align_corners: bool):
     """4 bilinear taps per output point: flat indices + weights (border)."""
     b, h, w, c = x_shape
-    gxy = grid.astype(jnp.float32)
+    # coordinate math at >= f32 (f64 under x64: keeps the f64 parity
+    # oracles exact; bf16 grids still promote to f32 as before)
+    gxy = grid.astype(jnp.promote_types(grid.dtype, jnp.float32))
     if align_corners:
         fx = (gxy[..., 0] + 1.0) * 0.5 * (w - 1)
         fy = (gxy[..., 1] + 1.0) * 0.5 * (h - 1)
@@ -95,7 +97,7 @@ def grid_sample(
     if impl == "matmul":
         return grid_sample_matmul(x, grid, align_corners)
 
-    gxy = grid.astype(jnp.float32)
+    gxy = grid.astype(jnp.promote_types(grid.dtype, jnp.float32))
     if align_corners:
         fx = (gxy[..., 0] + 1.0) * 0.5 * (w - 1)
         fy = (gxy[..., 1] + 1.0) * 0.5 * (h - 1)

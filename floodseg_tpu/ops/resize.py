@@ -19,7 +19,7 @@ import jax.numpy as jnp
 @lru_cache(maxsize=256)
 def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
     """(out_size, in_size) row-stochastic bilinear interpolation matrix."""
-    m = np.zeros((out_size, in_size), dtype=np.float32)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
     if in_size == 1:
         m[:, 0] = 1.0
         return m
@@ -36,9 +36,9 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     w1 = (src - i0).astype(np.float64)
     i1 = np.clip(i0 + 1, 0, in_size - 1)
     i0 = np.clip(i0, 0, in_size - 1)
-    np.add.at(m, (np.arange(out_size), i0), (1.0 - w1).astype(np.float32))
-    np.add.at(m, (np.arange(out_size), i1), w1.astype(np.float32))
-    return m
+    np.add.at(m, (np.arange(out_size), i0), 1.0 - w1)
+    np.add.at(m, (np.arange(out_size), i1), w1)
+    return m  # f64 master copy; resize_bilinear casts per input dtype
 
 
 def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.ndarray:
@@ -55,9 +55,12 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.nda
     if (h_in, w_in) == (h_out, w_out):
         return x[0] if squeeze else x
     dtype = x.dtype
-    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=jnp.float32)
-    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=jnp.float32)
-    y = x.astype(jnp.float32)
+    # f32 compute for bf16/f32 inputs (unchanged); true f64 under x64 so
+    # the f64 parity oracles stay exact
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=cdt)
+    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=cdt)
+    y = x.astype(cdt)
     # 'highest' keeps the interpolation in true f32 on the MXU (the matrices
     # have <=2 nonzeros per row; this is bandwidth-, not FLOP-, bound)
     y = jnp.einsum("oh,bhwc->bowc", mh, y, precision="highest")

@@ -65,8 +65,10 @@ def warp_chain_masked(f: jnp.ndarray, grids: jnp.ndarray, index: jnp.ndarray) ->
 
 
 def interp_weight(index: jnp.ndarray, n: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(n - index) / n broadcast over NHWC (flow/model.py:104)."""
-    s = (n.astype(jnp.float32) - index.astype(jnp.float32)) / n.astype(jnp.float32)
+    """(n - index) / n broadcast over NHWC (flow/model.py:104). Computed at
+    >= f32 (f64 under x64 for the parity oracles)."""
+    wdt = jnp.promote_types(dtype, jnp.float32)
+    s = (n.astype(wdt) - index.astype(wdt)) / n.astype(wdt)
     return s[:, None, None, None].astype(dtype)
 
 
@@ -109,10 +111,11 @@ class FlowInterpolator:
         """
         h, w = frame_prev.shape[1], frame_prev.shape[2]
         out_size = out_size or (h, w)
-        n = (left_index + right_index).astype(jnp.float32)
+        wdt = jnp.promote_types(frame_prev.dtype, jnp.float32)
+        n = (left_index + right_index).astype(wdt)
 
         def weighted(maps, index):
-            scale = ((n - index.astype(jnp.float32)) / n)[:, None, None, None]
+            scale = ((n - index.astype(wdt)) / n)[:, None, None, None]
             return maps * scale.astype(maps.dtype)
 
         if self.feature_based:

@@ -142,6 +142,117 @@ def test_train_forward_matches_reference(feature_based):
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
 
 
+@pytest.fixture
+def x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+@pytest.mark.parametrize("feature_based", [True, False])
+def test_train_backward_matches_reference(feature_based, x64):
+    """GRADIENT parity of the composed flow train forward (f64 both sides):
+    d(loss)/d(encoder/decoder weights) through the per-sample warp chains.
+    The forward tests above pin grid_sample's values; this pins its
+    BACKWARD (the transposed scatter of the bilinear gather) and the
+    masked-scan chain/fusion backward — the path every flow training step
+    differentiates through (reference flow/model.py:55-106 under
+    loss.backward())."""
+    from flow.model import FlowModel
+
+    rng = np.random.default_rng(11)
+    tm, _, _ = _make_pair()
+    tm = tm.double().train()
+    ref = FlowModel(tm, feature_based=feature_based).train()
+
+    # the reference's warp() force-casts grids to float32
+    # (flow/model.py:246-247) which cannot run against double features;
+    # replace with the identical call minus the downcast
+    import types as _types
+
+    def _warp64(self, frame, motion_vectors):
+        return torch.nn.functional.grid_sample(
+            frame, motion_vectors, mode="bilinear", padding_mode="border",
+            align_corners=False)
+
+    ref.warp = _types.MethodType(_warp64, ref)
+
+    b, t = 3, 4
+    frame_prev = rng.standard_normal((b, 64, 64, 3))
+    frame_next = rng.standard_normal((b, 64, 64, 3))
+    mvs_l = _grids(rng, t, b, 4, 4).astype(np.float64)
+    mvs_r = _grids(rng, t, b, 4, 4).astype(np.float64)
+    left_index = np.array([1, 3, 2])
+    right_index = np.array([4, 2, 1])
+    # a fixed random linear functional as the loss: fully sensitive to
+    # every output pixel, no CE nonlinearity to hide scale errors
+    w_loss = rng.standard_normal((b, 5, 64, 64))
+
+    out = ref(
+        None,
+        torch.from_numpy(frame_prev.transpose(0, 3, 1, 2)),
+        torch.from_numpy(frame_next.transpose(0, 3, 1, 2)),
+        [torch.from_numpy(mvs_l[j]) for j in range(t)],
+        [torch.from_numpy(mvs_r[j]) for j in range(t)],
+        list(left_index),
+        list(right_index),
+    )["pred"]
+    (out * torch.from_numpy(w_loss)).sum().backward()
+    ref_grads = {
+        "enc_w": tm.encoder.weight.grad.numpy(),
+        "enc_b": tm.encoder.bias.grad.numpy(),
+        "dec_w": tm.decoder.weight.grad.numpy(),
+        "dec_b": tm.decoder.bias.grad.numpy(),
+    }
+
+    params = {
+        "enc_w": jnp.asarray(
+            tm.encoder.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "enc_b": jnp.asarray(tm.encoder.bias.detach().numpy()),
+        "dec_w": jnp.asarray(
+            tm.decoder.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "dec_b": jnp.asarray(tm.decoder.bias.detach().numpy()),
+    }
+    w_loss_nhwc = jnp.asarray(w_loss.transpose(0, 2, 3, 1))
+
+    def loss_fn(p):
+        def encode(x):
+            y = jax.lax.conv_general_dilated(
+                x, p["enc_w"], (4, 4), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision="highest")
+            return y + p["enc_b"]
+
+        def decode(f):
+            y = jax.lax.conv_general_dilated(
+                f, p["dec_w"], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision="highest")
+            return y + p["dec_b"]
+
+        interp = FlowInterpolator(encode, decode,
+                                  feature_based=feature_based)
+        pred = interp.train_forward(
+            jnp.asarray(frame_prev), jnp.asarray(frame_next),
+            jnp.asarray(mvs_l), jnp.asarray(mvs_r),
+            jnp.asarray(left_index), jnp.asarray(right_index))
+        return jnp.sum(pred * w_loss_nhwc)
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+
+    for ours_key, ref_key, tr in (("enc_w", "enc_w", (3, 2, 0, 1)),
+                                  ("enc_b", "enc_b", None),
+                                  ("dec_w", "dec_w", (3, 2, 0, 1)),
+                                  ("dec_b", "dec_b", None)):
+        got = np.asarray(grads[ours_key], np.float64)
+        if tr is not None:
+            got = got.transpose(tr)
+        np.testing.assert_allclose(got, ref_grads[ref_key],
+                                   rtol=1e-7, atol=1e-9,
+                                   err_msg=ours_key)
+
+
 def test_crop_motion_vectors_matches_reference():
     sys.path.insert(0, "/root/reference")
     from flow.transform import crop_motion_vector as ref_crop
