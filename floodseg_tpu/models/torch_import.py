@@ -236,6 +236,18 @@ def convert_mask_transformer(sd: Mapping, n_layers: int = 2, prefix: str = "") -
     return params
 
 
+def convert_s4gan_discriminator(sd: Mapping, prefix: str = "") -> dict:
+    """Reference s4GAN_discriminator state_dict -> S4GANDiscriminator params
+    (/root/reference/util/gan.py:10-43). Sequential indices: layers.{0,3,6,9}
+    are the four stride-2 convs (LeakyReLU/Dropout hold no params), final.0
+    is the sigmoid head's Linear (our head is the same Linear pre-sigmoid)."""
+    params = {}
+    for i, li in enumerate((0, 3, 6, 9)):
+        params[f"conv{i + 1}"] = _conv_b(sd, f"{prefix}layers.{li}")
+    params["final"] = _linear(sd, f"{prefix}final.0")
+    return params
+
+
 def convert_decoder_linear(sd: Mapping, prefix: str = "") -> dict:
     """Reference DecoderLinear state_dict -> my DecoderLinear params
     (segm/model/decoder.py:13-34: a single n_cls Linear named ``head``)."""

@@ -24,6 +24,72 @@ def synth_root(tmp_path_factory):
                                       size=(96, 128), num_labeled=6)
 
 
+def test_discriminator_forward_matches_reference():
+    """S4GANDiscriminator vs the imported reference s4GAN_discriminator
+    (util/gan.py:10-43): converted weights, eval mode (dropout off) —
+    sigmoid(our logit) must equal the reference's sigmoid output and the
+    pooled conv4 features must match."""
+    import sys
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from util.gan import s4GAN_discriminator  # noqa: E402
+    from floodseg_tpu.models.torch_import import convert_s4gan_discriminator
+
+    torch.manual_seed(3)
+    ref = s4GAN_discriminator(num_classes=5).eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 64, 64, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_maps = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref_out = ref_out.numpy()[:, 0]
+    ref_feat = ref_maps.numpy().reshape(2, -1)
+
+    d = S4GANDiscriminator(num_classes=5)
+    params = convert_s4gan_discriminator(ref.state_dict())
+    logit, feat = jax.jit(lambda p, y: d.apply({"params": p}, y, train=False))(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(logit)), ref_out,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat), ref_feat,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_self_training_loss_matches_reference_selection():
+    """Our mask-form self-training loss == the reference's
+    find_good_maps selection + CE on the selected samples
+    (util/gan.py:55-77, gan.py:173-180). The reference materializes a
+    smaller selected batch; we weight a full-batch CE by the selection
+    mask — identical arithmetic (mean over selected pixels), XLA-friendly
+    static shapes."""
+    import sys
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from util.gan import find_good_maps  # noqa: E402
+    from floodseg_tpu.ops.losses import cross_entropy_loss
+
+    rng = np.random.default_rng(5)
+    b, h, w, c = 4, 8, 8, 5
+    pred_u = rng.standard_normal((b, c, h, w)).astype(np.float32)
+    d_outs = np.array([0.9, 0.1, 0.7, 0.3], np.float32)  # 2 selected @0.6
+
+    pred_sel, label_sel, count = find_good_maps(
+        torch.from_numpy(d_outs), torch.from_numpy(pred_u), 0.6)
+    assert count == 2
+    ref_loss = torch.nn.CrossEntropyLoss(ignore_index=255)(
+        pred_sel, label_sel).item()
+
+    pred_nhwc = jnp.asarray(pred_u.transpose(0, 2, 3, 1))
+    sel = jnp.asarray(d_outs) > 0.6
+    pseudo = jnp.argmax(pred_nhwc, axis=-1)
+    st_weights = sel.astype(jnp.float32)[:, None, None] * jnp.ones(
+        (b, h, w), jnp.float32)
+    ours = float(cross_entropy_loss(pred_nhwc, pseudo, ignore_index=-1,
+                                    weights=st_weights))
+    np.testing.assert_allclose(ours, ref_loss, rtol=1e-6)
+
+
 def test_one_hot_matches_reference_semantics():
     labels = jnp.asarray([[[0, 1], [4, 255]]])
     oh = np.asarray(one_hot_masks(labels, 5))
