@@ -60,9 +60,13 @@ def make_optimizer(
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=False))
     elif optimizer == "adam":
-        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+        # torch.optim.Adam semantics (supervised.py:161-163, the vit arch):
+        # CLASSIC L2 — wd folds into the gradient BEFORE the moment
+        # estimates. Decay after scale_by_adam would be AdamW, which the
+        # reference does not use.
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
     if head_lr_scale != 1.0:

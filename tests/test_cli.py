@@ -248,8 +248,16 @@ def test_fit_dp_matches_single_device(tmp_path, synth_root, method, extra):
     l1, l2 = jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
     assert len(l1) == len(l2)
     for a, b in zip(l1, l2):
+        # atol 1e-3: f32 reduction-order noise between the sharded
+        # allreduce and the single-device sum amplifies through the fit's
+        # two optimizer steps (observed up to 4.2e-4 on the stem conv after
+        # the poly fix made BOTH steps run hot — step 1 previously sat at
+        # lr ~0 under the off-by-one schedule). This Runner-level test
+        # guards the WIRING (shardings, batch split, metric aggregation);
+        # exact single-step collective identity is pinned separately by
+        # tests/test_parallel.py.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=5e-5)
+                                   rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.slow

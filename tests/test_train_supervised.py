@@ -60,6 +60,53 @@ def test_sgd_poly_head10_matches_torch():
                                tp_head.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_adam_poly_head10_matches_torch():
+    """3 steps of torch.optim.Adam(wd 1e-4 as CLASSIC L2 into the gradient,
+    supervised.py:161-163 — the vit arch's optimizer) + poly LR + head x10
+    vs make_optimizer("adam"). An AdamW-style decoupled decay diverges from
+    this at the first step."""
+    rng = np.random.default_rng(1)
+    w_back = rng.standard_normal((4, 3)).astype(np.float32)
+    w_head = rng.standard_normal((3, 2)).astype(np.float32)
+    grads = [
+        {"backbone": {"k": rng.standard_normal((4, 3)).astype(np.float32)},
+         "cls": {"k": rng.standard_normal((3, 2)).astype(np.float32)}}
+        for _ in range(3)
+    ]
+    base_lr, max_iter, wd = 0.001, 10, 1e-4
+
+    tp_back = torch.nn.Parameter(torch.from_numpy(w_back.copy()))
+    tp_head = torch.nn.Parameter(torch.from_numpy(w_head.copy()))
+    opt = torch.optim.Adam(
+        [{"params": [tp_back], "lr": base_lr},
+         {"params": [tp_head], "lr": base_lr * 10}],
+        lr=base_lr, weight_decay=wd,
+    )
+    for it, g in enumerate(grads):
+        opt.zero_grad()
+        tp_back.grad = torch.from_numpy(g["backbone"]["k"])
+        tp_head.grad = torch.from_numpy(g["cls"]["k"])
+        opt.step()
+        lr = base_lr * (1 - (it + 1) / max_iter) ** 0.9
+        opt.param_groups[0]["lr"] = lr
+        opt.param_groups[1]["lr"] = lr * 10
+
+    params = {"backbone": {"k": jnp.asarray(w_back)},
+              "cls": {"k": jnp.asarray(w_head)}}
+    tx = make_optimizer(base_lr, max_iter, "adam", weight_decay=wd)
+    import optax
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update(jax.tree.map(jnp.asarray, g),
+                                       opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["backbone"]["k"]),
+                               tp_back.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["cls"]["k"]),
+                               tp_head.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_poly_schedule_matches_reference():
     from floodseg_tpu.train.optim import poly_schedule
     sched = poly_schedule(0.01, 100, 0.9)
