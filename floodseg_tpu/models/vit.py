@@ -43,7 +43,9 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision="highest") * (hd ** -0.5)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        # softmax at >= f32 (bf16 stability; f64 under x64 for the oracles)
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+        attn = nn.softmax(attn.astype(sdt), axis=-1).astype(x.dtype)
         # retrievable with apply(..., mutable=["intermediates"]) — the
         # TPU-native form of get_attention_map_enc/dec hooks
         # (segm/model/{vit.py:149,decoder.py:104}); no-op otherwise.
@@ -81,10 +83,10 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         y = Attention(self.heads, self.dropout, self.dtype, name="attn")(y, train)
         x = x + DropPath(self.drop_path, name="dp1")(y, deterministic=not train)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = FeedForward(self.mlp_dim, self.dropout, self.dtype, name="mlp")(y, train)
         return x + DropPath(self.drop_path, name="dp2")(y, deterministic=not train)
 
@@ -142,7 +144,7 @@ class VisionTransformer(nn.Module):
                 self.n_heads, 4 * self.d_model, self.dropout, float(dpr[i]),
                 self.dtype, name=f"block{i}",
             )(tokens, train)
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(tokens)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(tokens)
 
 
 class MaskTransformer(nn.Module):
@@ -174,7 +176,7 @@ class MaskTransformer(nn.Module):
         for i in range(self.n_layers):
             x = Block(self.n_heads, 4 * self.d_model, self.dropout, 0.0,
                       self.dtype, name=f"block{i}")(x, train)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="decoder_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="decoder_norm")(x)
 
         patches, cls_feat = x[:, : -self.n_cls], x[:, -self.n_cls:]
         scale = self.d_model ** -0.5
@@ -188,15 +190,17 @@ class MaskTransformer(nn.Module):
         )
         patches = patches @ proj_patch.astype(patches.dtype)
         cls_feat = cls_feat @ proj_classes.astype(cls_feat.dtype)
+        ndt = jnp.promote_types(patches.dtype, jnp.float32)
         patches = patches / jnp.linalg.norm(
-            patches.astype(jnp.float32), axis=-1, keepdims=True
+            patches.astype(ndt), axis=-1, keepdims=True
         ).astype(patches.dtype)
         cls_feat = cls_feat / jnp.linalg.norm(
-            cls_feat.astype(jnp.float32), axis=-1, keepdims=True
+            cls_feat.astype(ndt), axis=-1, keepdims=True
         ).astype(cls_feat.dtype)
 
         masks = jnp.einsum("bnd,bcd->bnc", patches, cls_feat, precision="highest")
-        masks = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        masks = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32,
                              name="mask_norm")(masks)
         gw = masks.shape[1] // gs
         return masks.reshape(b, gs, gw, self.n_cls)

@@ -11,7 +11,7 @@
 - ``binary_cross_entropy``: BCE from logits for the s4GAN discriminator
   (/root/reference/gan.py:135-240 uses BCELoss on sigmoid outputs).
 
-All losses compute in float32 regardless of input dtype.
+All losses compute at >= float32 (f64 inputs stay f64).
 """
 
 import jax
@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 
 def _log_softmax(logits):
-    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # >= f32 (bf16 stability; true f64 under x64 for the parity oracles)
+    dt = jnp.promote_types(logits.dtype, jnp.float32)
+    return jax.nn.log_softmax(logits.astype(dt), axis=-1)
 
 
 def cross_entropy_loss(

@@ -22,15 +22,21 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(prog="floodseg_tpu.segm.train")
     p.add_argument("--log-dir", required=True)
-    p.add_argument("--img-dir", required=True, help="training images")
-    p.add_argument("--ann-dir", required=True, help="training annotations")
+    p.add_argument("--img-dir", default=None, help="training images")
+    p.add_argument("--ann-dir", default=None, help="training annotations")
     p.add_argument("--val-img-dir", default=None)
     p.add_argument("--val-ann-dir", default=None)
+    p.add_argument("--pascal-context", default=None, metavar="ROOT",
+                   help="train on PascalContext from ROOT/VOCdevkit/VOC2010 "
+                        "(train+val splits, 60 classes) instead of "
+                        "--img-dir/--ann-dir folders — the reference's "
+                        "dataset-by-name selection (segm/data/factory.py)")
     p.add_argument("--img-suffix", default=".jpg")
     p.add_argument("--ann-suffix", default=".png")
     p.add_argument("--reduce-zero-label", action="store_true",
                    help="ADE20k label convention (0=unlabeled)")
-    p.add_argument("--n-cls", type=int, required=True)
+    p.add_argument("--n-cls", type=int, default=None,
+                   help="required unless --pascal-context (then 60)")
     p.add_argument("--im-size", type=int, default=512)
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--window-size", type=int, default=None)
@@ -75,8 +81,8 @@ def main(argv=None):
         create_mesh, shard_batch, replicated_sharding, sharded_jit,
     )
     from floodseg_tpu.segm.data import (
-        SegFolderDataset, build_train_pipeline, build_eval_pipeline,
-        IGNORE_LABEL,
+        SegFolderDataset, pascal_context_dataset,
+        build_train_pipeline, build_eval_pipeline, IGNORE_LABEL,
     )
     from floodseg_tpu.segm.inference import sliding_inference
     from floodseg_tpu.segm.logger import MetricLogger
@@ -89,10 +95,21 @@ def main(argv=None):
     mesh = create_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
     global_batch = args.batch_size * (n_dev if mesh is not None else 1)
 
-    train_ds = SegFolderDataset(
-        args.img_dir, args.ann_dir, args.img_suffix, args.ann_suffix,
-        transform=build_train_pipeline(args.im_size, crop),
-        reduce_zero_label=args.reduce_zero_label)
+    if args.pascal_context:
+        if args.n_cls is None:
+            args.n_cls = 60
+        train_ds = pascal_context_dataset(
+            args.pascal_context, "train",
+            transform=build_train_pipeline(args.im_size, crop))
+    elif args.img_dir and args.ann_dir:
+        if args.n_cls is None:
+            raise SystemExit("--n-cls is required with --img-dir/--ann-dir")
+        train_ds = SegFolderDataset(
+            args.img_dir, args.ann_dir, args.img_suffix, args.ann_suffix,
+            transform=build_train_pipeline(args.im_size, crop),
+            reduce_zero_label=args.reduce_zero_label)
+    else:
+        raise SystemExit("pass --img-dir/--ann-dir or --pascal-context")
     if global_batch > len(train_ds):
         raise SystemExit(
             f"global batch {global_batch} ({args.batch_size} x {n_dev} "
@@ -136,7 +153,11 @@ def main(argv=None):
         state = jax.device_put(state, replicated_sharding(mesh))
 
     val_ds = None
-    if args.val_img_dir and args.val_ann_dir:
+    if args.pascal_context:
+        val_ds = pascal_context_dataset(
+            args.pascal_context, "val",
+            transform=build_eval_pipeline(args.im_size))
+    elif args.val_img_dir and args.val_ann_dir:
         val_ds = SegFolderDataset(
             args.val_img_dir, args.val_ann_dir, args.img_suffix,
             args.ann_suffix, transform=build_eval_pipeline(args.im_size),

@@ -217,13 +217,11 @@ def test_segm_accuracy_cli(cls_root, capsys):
     assert "top1" in out and "top3" in out  # top-k clamps to n_cls=3
 
 
-def test_pascal_context_layout(tmp_path):
-    """pascal_context_dataset over the VOC2010 layout
-    (reference segm/data/pascal_context.py): split files select stems; the
-    test split raises exactly like the reference."""
-    from floodseg_tpu.segm.data import pascal_context_dataset
-
-    voc = tmp_path / "VOCdevkit" / "VOC2010"
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    """Tiny fabricated VOC2010 PascalContext layout."""
+    root = tmp_path_factory.mktemp("voc")
+    voc = root / "VOCdevkit" / "VOC2010"
     (voc / "JPEGImages").mkdir(parents=True)
     (voc / "SegmentationClassContext").mkdir()
     splits = voc / "ImageSets" / "SegmentationContext"
@@ -236,6 +234,15 @@ def test_pascal_context_layout(tmp_path):
                         ).save(voc / "SegmentationClassContext" / f"{stem}.png")
     (splits / "train.txt").write_text("2008_000001\n2008_000002\n")
     (splits / "val.txt").write_text("2008_000003\n")
+    return str(root)
+
+
+def test_pascal_context_layout(voc_root):
+    """pascal_context_dataset over the VOC2010 layout
+    (reference segm/data/pascal_context.py): split files select stems; the
+    test split raises exactly like the reference."""
+    from floodseg_tpu.segm.data import pascal_context_dataset
+    tmp_path = voc_root
 
     tr = pascal_context_dataset(str(tmp_path), "train")
     va = pascal_context_dataset(str(tmp_path), "val")
@@ -279,6 +286,25 @@ def test_plot_logs_cli(tmp_path, capsys):
     rc = mod.main(["--config", str(cfg), "--no-plot"])
     assert rc == 0
     assert "Skipping ghost" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_segm_train_cli_pascal_context(voc_root, tmp_path):
+    """--pascal-context selects the VOC2010 dataset by name (n_cls defaults
+    to 60), trains and evaluates end-to-end."""
+    from floodseg_tpu.segm.train import main
+
+    argv = [
+        "--log-dir", str(tmp_path / "logs_pc"),
+        "--pascal-context", voc_root,
+        "--im-size", "32", "--crop-size", "32",
+        "--window-size", "32", "--window-stride", "16",
+        "--patch-size", "16", "--d-model", "64", "--n-layers", "1",
+        "--dec-layers", "1", "--batch-size", "2", "--epochs", "1",
+        "--num-devices", "1", "--workers", "2",
+    ]
+    assert main(argv) == 0
+    assert "last" in os.listdir(tmp_path / "logs_pc" / "checkpoints")
 
 
 @pytest.mark.slow
