@@ -25,6 +25,7 @@ from floodseg_tpu.ops.resize import resize_bilinear
 class ASPP(nn.Module):
     rates: Sequence[int] = (12, 24, 36)
     out_channels: int = 256
+    dropout: float = 0.5   # torchvision ASPP project dropout
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
@@ -52,17 +53,19 @@ class ASPP(nn.Module):
         y = jnp.concatenate(branches, axis=-1)
         y = conv(self.out_channels, 1, use_bias=False, dtype=dt, name="project_conv")(y)
         y = nn.relu(batch_norm(train, dt, ax, name="project_bn")(y))
-        return nn.Dropout(0.5, deterministic=not train)(y)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
 
 
 class DeepLabHead(nn.Module):
     classes: int
+    dropout: float = 0.5
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ASPP(dtype=self.dtype, axis_name=self.axis_name, name="aspp")(x, train)
+        x = ASPP(dropout=self.dropout, dtype=self.dtype,
+                 axis_name=self.axis_name, name="aspp")(x, train)
         x = conv(256, 3, padding=1, use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.relu(batch_norm(train, self.dtype, self.axis_name, name="bn")(x))
         return conv(self.classes, 1, dtype=self.dtype, name="classifier")(x)
@@ -70,6 +73,7 @@ class DeepLabHead(nn.Module):
 
 class FCNHead(nn.Module):
     classes: int
+    dropout: float = 0.1   # torchvision FCNHead dropout
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
@@ -78,13 +82,14 @@ class FCNHead(nn.Module):
         mid = x.shape[-1] // 4
         x = conv(mid, 3, padding=1, use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.relu(batch_norm(train, self.dtype, self.axis_name, name="bn")(x))
-        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return conv(self.classes, 1, dtype=self.dtype, name="classifier")(x)
 
 
 class DeepLabV3(nn.Module):
     classes: int = 5
     layers: int = 101
+    dropout_scale: float = 1.0   # 0 disables head dropout (parity oracles)
     with_aux: bool = True
     with_rep: bool = False
     remat: bool = False
@@ -97,11 +102,13 @@ class DeepLabV3(nn.Module):
             remat=self.remat, dtype=self.dtype, axis_name=self.axis_name,
             name="backbone",
         )
-        self.classifier = DeepLabHead(self.classes, self.dtype, self.axis_name,
-                                      name="classifier")
+        self.classifier = DeepLabHead(
+            self.classes, 0.5 * self.dropout_scale, self.dtype,
+            self.axis_name, name="classifier")
         if self.with_aux:
-            self.aux_classifier = FCNHead(self.classes, self.dtype, self.axis_name,
-                                          name="aux_classifier")
+            self.aux_classifier = FCNHead(
+                self.classes, 0.1 * self.dropout_scale, self.dtype,
+                self.axis_name, name="aux_classifier")
         if self.with_rep:
             self.rep_head = SegHead(256, 256, 0.1, self.dtype, self.axis_name,
                                     name="rep")

@@ -8,6 +8,7 @@ torchvision itself is absent in this image, so the oracle rebuilds its exact
 module tree (torchvision/models/segmentation/deeplabv3.py + resnet.py)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -189,3 +190,72 @@ def test_deeplabv3_matches_torch_oracle():
     np.testing.assert_allclose(
         np.asarray(aux).transpose(0, 3, 1, 2), ref_aux.numpy(),
         rtol=1e-3, atol=1e-2)
+
+
+@pytest.fixture
+def x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+@pytest.mark.slow
+def test_deeplabv3_backward_matches_torch(x64):
+    """f64 GRADIENT parity of one composed DeepLabV3 train step's backward:
+    d(linear loss over pred + 0.4*aux)/d(all params) through the dilated
+    backbone, ASPP (incl. the image-pooling broadcast-resize branch) and
+    FCN aux head — the backward every deeplabv3 fit differentiates.
+    Dropout zeroed on both sides (masks never match across frameworks);
+    tolerances at ReLU-flip level (the same discontinuity mechanism
+    documented in test_train_trajectory.py — a single backward keeps it at
+    ~1e-7)."""
+    gen = torch.Generator().manual_seed(4)
+    oracle = TorchDeepLabV3(CLASSES).double().train()
+    _randomize(oracle, gen)
+    for m in oracle.modules():
+        if isinstance(m, tnn.Dropout):
+            m.p = 0.0
+
+    x = torch.randn(2, 3, 33, 33, generator=gen, dtype=torch.float64)
+    w_pred = torch.randn(2, CLASSES, 33, 33, generator=gen,
+                         dtype=torch.float64)
+    w_aux = torch.randn(2, CLASSES, 33, 33, generator=gen,
+                        dtype=torch.float64)
+    out, aux = oracle(x)
+    ((out * w_pred).sum() + 0.4 * (aux * w_aux).sum()).backward()
+    grad_sd = {name: p.grad.detach().clone()
+               for name, p in oracle.named_parameters()}
+    for k, v in oracle.state_dict().items():
+        if k not in grad_sd:
+            grad_sd[k] = torch.zeros_like(v)
+
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float64),
+        convert_deeplabv3_state_dict(oracle.state_dict(), layers=50))
+    model = DeepLabV3(classes=CLASSES, layers=50, with_aux=True,
+                      dropout_scale=0.0, dtype=jnp.float64)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    wp = jnp.asarray(w_pred.numpy().transpose(0, 2, 3, 1))
+    wa = jnp.asarray(w_aux.numpy().transpose(0, 2, 3, 1))
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xj, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return jnp.sum(o["pred"] * wp) + 0.4 * jnp.sum(o["aux"] * wa)
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+
+    want = convert_deeplabv3_state_dict(grad_sd, layers=50)["params"]
+    flat_w = jax.tree_util.tree_flatten_with_path(want)[0]
+    assert len(flat_w) > 150  # full network
+    for kp, v in flat_w:
+        node = grads
+        for k in kp:
+            node = node[k.key]
+        path = "/".join(str(k.key) for k in kp)
+        np.testing.assert_allclose(
+            np.asarray(node, np.float64), np.asarray(v, np.float64),
+            rtol=1e-6, atol=1e-7, err_msg=path)
