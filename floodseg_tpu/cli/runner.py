@@ -575,7 +575,8 @@ class Runner:
                 self.model, self.num_classes, ccfg, m.ignore_index,
                 m.aux_weight if m.aux else 0.0, m.loss.thresh, m.loss.min_kept,
                 m.unsupervised_apply_aug, m.unsupervised_drop_percent,
-                m.unsupervised_loss_weight, m.ema_decay)
+                m.unsupervised_loss_weight, m.ema_decay,
+                true_ema=m.contrastive.true_ema)
             sup_step = self._jit_train(sup_step)
             semi_step = self._jit_train(semi_step)
             boundary = {"synced": False}

@@ -56,6 +56,11 @@ class ContrastiveCfg:
     max_enqueue: int = 1024
     bank_capacity: int = 30000        # reference queue_size (contrastive.py:172)
     bank_class0_capacity: int = 50000
+    # The reference's boundary copy t.data = s.data ALIASES teacher and
+    # student storage, making its EMA a no-op (teacher params == student
+    # params after warmup). False replicates that de facto behavior;
+    # True enables the real EMA the reference code appears to implement.
+    true_ema: bool = False
 
 
 @dataclass

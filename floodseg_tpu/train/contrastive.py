@@ -238,6 +238,7 @@ def make_u2pl_steps(
     unsupervised_drop_percent: float = 80.0,
     unsupervised_loss_weight: float = 1.0,
     ema_decay: float = 0.99,
+    true_ema: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Returns (sup_step, semi_step).
 
@@ -246,6 +247,18 @@ def make_u2pl_steps(
       epoch_frac = current_epoch / max_epochs (drives the drop-percent and
       alpha_t anneals), rel_step = global step since the warmup boundary
       (drives the EMA warmup, contrastive.py:404-414).
+
+    true_ema: the reference's boundary copy ``t_params.data = s_params.data``
+      (contrastive.py:214-219) ALIASES teacher and student storage — the
+      in-place SGD step then moves the teacher identically, and the
+      ``copy_``-based EMA (contrastive.py:417-421) computes
+      ``ema*t + (1-ema)*s`` with ``t is s``, a no-op (verified empirically
+      under torch 2.x). De facto reference semantics after warmup: the
+      teacher's PARAMS are the student's; only its BN buffers evolve
+      separately (through its own train-mode forwards). The default
+      replicates that. ``true_ema=True`` opts into the real exponential
+      moving average the reference code *appears* to implement
+      (``model.contrastive.true_ema`` in the config).
     """
 
     def student_forward(params, batch_stats, images, rng):
@@ -402,14 +415,20 @@ def make_u2pl_steps(
         )
         student = state.student.apply_gradients(grads=grads, batch_stats=bs)
 
-        # EMA teacher update (contrastive.py:404-421)
-        decay = jnp.minimum(
-            1.0 - 1.0 / (rel_step.astype(jnp.float32) + 1.0), ema_decay
-        )
-        teacher_params = jax.tree.map(
-            lambda t, s: decay * t + (1.0 - decay) * s,
-            state.teacher_params, student.params,
-        )
+        # Teacher param update (contrastive.py:404-421). Default: the
+        # reference's de facto aliased-storage semantics — teacher params
+        # track the student EXACTLY after the warmup boundary (see the
+        # make_u2pl_steps docstring for the mechanism).
+        if true_ema:
+            decay = jnp.minimum(
+                1.0 - 1.0 / (rel_step.astype(jnp.float32) + 1.0), ema_decay
+            )
+            teacher_params = jax.tree.map(
+                lambda t, s: decay * t + (1.0 - decay) * s,
+                state.teacher_params, student.params,
+            )
+        else:
+            teacher_params = student.params
 
         pred_cls = jnp.argmax(out["pred"][:n_labeled], axis=-1)
         inter, union, target = intersection_and_union(

@@ -170,10 +170,60 @@ def test_u2pl_semi_step_smoke():
         assert np.isfinite(float(m["contra_loss"]))
     # bank received keys
     assert int(np.asarray(state.bank.counts).sum()) > 0
-    # teacher moved away from the student copy (EMA with decay<1)
+    # DEFAULT (reference-parity) teacher semantics: the reference's boundary
+    # t.data = s.data aliases storage, so after warmup teacher params track
+    # the student EXACTLY (contrastive.py:214-219 + 417-421; the copy_-EMA
+    # is a no-op on aliased tensors) — assert bit-identity
     t0 = np.asarray(jax.tree.leaves(state.teacher_params)[0])
     s0 = np.asarray(jax.tree.leaves(state.student.params)[0])
-    assert not np.allclose(t0, s0)
+    np.testing.assert_array_equal(t0, s0)
+
+
+def test_u2pl_true_ema_opt_in():
+    """true_ema=True restores the real EMA the reference code appears to
+    implement: after the boundary sync the teacher lags the student by the
+    warmup-scheduled decay min(1 - 1/(rel+1), ema_decay)."""
+    from floodseg_tpu.models import build_model
+    from floodseg_tpu.train.optim import make_optimizer
+    from floodseg_tpu.train.contrastive import (
+        ContrastiveConfig, create_u2pl_state, sync_teacher, make_u2pl_steps,
+    )
+
+    model = build_model("pspnet", classes=5, layers=50, semisupervised=True)
+    tx = make_optimizer(base_lr=1e-2, max_iter=20)
+    key = jax.random.PRNGKey(0)
+    state = create_u2pl_state(model, key, jnp.zeros((2, 33, 33, 3)), tx,
+                              bank_capacity=512, bank_class0_capacity=1024)
+    cfg = ContrastiveConfig(enabled=False)
+    _, semi_step = make_u2pl_steps(model, 5, cfg, ohem_min_kept=200,
+                                   unsupervised_apply_aug="",
+                                   ema_decay=0.99, true_ema=True)
+    semi_step = jax.jit(semi_step)
+    rng = np.random.default_rng(0)
+    batch = {
+        "l": {"frame_current": jnp.asarray(
+                  rng.standard_normal((2, 33, 33, 3)), dtype=jnp.float32),
+              "label": jnp.asarray(rng.integers(0, 5, (2, 33, 33)),
+                                   dtype=jnp.int32)},
+        "u": {"frame_current": jnp.asarray(
+                  rng.standard_normal((2, 33, 33, 3)), dtype=jnp.float32)},
+    }
+    state = sync_teacher(state)
+    state, _ = semi_step(state, batch, jax.random.fold_in(key, 1),
+                         jnp.float32(0.1), jnp.int32(0))
+    t1 = np.asarray(jax.tree.leaves(state.teacher_params)[0])
+    s1 = np.asarray(jax.tree.leaves(state.student.params)[0])
+    # rel_step=0 -> decay = min(1 - 1/1, 0.99) = 0 -> teacher jumps to the
+    # student (EMA warmup start, contrastive.py:405-414)
+    np.testing.assert_allclose(t1, s1, rtol=1e-6)
+    state, _ = semi_step(state, batch, jax.random.fold_in(key, 2),
+                         jnp.float32(0.1), jnp.int32(1))
+    t2 = np.asarray(jax.tree.leaves(state.teacher_params)[0])
+    s2 = np.asarray(jax.tree.leaves(state.student.params)[0])
+    # rel_step=1 -> decay = 0.5: teacher is the midpoint, NOT the student
+    assert not np.allclose(t2, s2)
+    np.testing.assert_allclose(t2, 0.5 * t1 + 0.5 * s2, rtol=1e-5,
+                               atol=1e-7)
 
 
 def test_contra_momentum_prototype_variant():
