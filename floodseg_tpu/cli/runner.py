@@ -35,7 +35,8 @@ from floodseg_tpu.data import (
 from floodseg_tpu.data.transforms import Compose
 from floodseg_tpu.models import build_model, S4GANDiscriminator, FLOW_ARCHS
 from floodseg_tpu.ops.metrics import MetricMeter
-from floodseg_tpu.train.optim import make_optimizer, poly_schedule
+from floodseg_tpu.train.optim import (exclude_subtrees, make_optimizer,
+                                      poly_schedule)
 from floodseg_tpu.train.state import create_train_state
 from floodseg_tpu.train import supervised as sup
 from floodseg_tpu.train import gan as gan_mod
@@ -514,8 +515,12 @@ class Runner:
             tx_d = make_optimizer(m.optim.lr_D, max_iter, optimizer="adam",
                                   betas=(0.9, 0.99), weight_decay=0.0,
                                   head_lr_scale=1.0, power=m.power)
+            # The gan loss never touches the aux head — torch skips those
+            # params entirely (see exclude_subtrees; no-op for archs
+            # without an aux head, e.g. the flow models).
+            tx_g = exclude_subtrees(tx, ("aux",))
             state_g = create_train_state(self.model, self.rng, self.sample_input,
-                                         tx, pretrained_variables=pre)
+                                         tx_g, pretrained_variables=pre)
             state_d = create_train_state(
                 self.model_d, self.rng,
                 jnp.zeros((1, self.cfg.data.train_h, self.cfg.data.train_w,

@@ -19,13 +19,14 @@ from floodseg_tpu.ops.pool import global_avg_pool
 class S4GANDiscriminator(nn.Module):
     num_classes: int = 5
     ndf: int = 64
+    dropout: float = 0.5        # reference Dropout2d(0.5); 0 for oracles
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None  # no BN; uniform API
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, classes+3) softmax-pred ⊕ normalized image."""
-        drop = lambda y: nn.Dropout(0.5, deterministic=not train)(y)
+        drop = lambda y: nn.Dropout(self.dropout, deterministic=not train)(y)
         y = conv(self.ndf, 4, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
         y = drop(nn.leaky_relu(y, 0.2))
         y = conv(self.ndf * 2, 4, stride=2, padding=1, dtype=self.dtype, name="conv2")(y)

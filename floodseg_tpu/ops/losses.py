@@ -61,7 +61,10 @@ def ohem_cross_entropy(
     safe_labels = jnp.where(valid, flat_labels, 0).astype(jnp.int32)
     num_valid = jnp.sum(valid)
 
-    prob = jax.nn.softmax(flat_logits.astype(jnp.float32), axis=-1)
+    # >= f32; true f64 under x64 so the selection threshold is computed at
+    # the same precision as the torch oracle's
+    prob = jax.nn.softmax(flat_logits.astype(
+        jnp.promote_types(flat_logits.dtype, jnp.float32)), axis=-1)
     target_prob = jnp.take_along_axis(prob, safe_labels[:, None], axis=-1)[:, 0]
     # invalid pixels get prob 1 so they sort to the end (reference masked_fill_)
     target_prob = jnp.where(valid, target_prob, 1.0)
@@ -103,8 +106,9 @@ def binary_cross_entropy(
     logits: jnp.ndarray, targets: jnp.ndarray
 ) -> jnp.ndarray:
     """Mean BCE from logits (numerically stable; equals BCELoss∘sigmoid)."""
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
+    dt = jnp.promote_types(logits.dtype, jnp.float32)
+    logits = logits.astype(dt)
+    targets = targets.astype(dt)
     loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return jnp.mean(loss)
 
@@ -115,6 +119,7 @@ def feature_matching_loss(d_feat_fake: jnp.ndarray, d_feat_real: jnp.ndarray) ->
     Reference: torch.mean(torch.abs(torch.mean(f_gt,0) - torch.mean(f_pred,0)))
     (/root/reference/gan.py:~205).
     """
-    mf = jnp.mean(d_feat_fake.astype(jnp.float32), axis=0)
-    mr = jnp.mean(d_feat_real.astype(jnp.float32), axis=0)
+    dt = jnp.promote_types(d_feat_fake.dtype, jnp.float32)
+    mf = jnp.mean(d_feat_fake.astype(dt), axis=0)
+    mr = jnp.mean(d_feat_real.astype(dt), axis=0)
     return jnp.mean(jnp.abs(mr - mf))

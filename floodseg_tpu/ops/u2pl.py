@@ -25,13 +25,14 @@ def masked_percentile(values: jnp.ndarray, mask: jnp.ndarray,
     (may be traced). Invalid entries sort to +inf. Assumes mask has at least
     one true entry (guaranteed upstream by the valid-target checks).
     """
-    v = jnp.where(mask, values, jnp.inf).reshape(-1).astype(jnp.float32)
+    dt = jnp.promote_types(values.dtype, jnp.float32)  # keep f64 under x64
+    v = jnp.where(mask, values, jnp.inf).reshape(-1).astype(dt)
     v = jnp.sort(v)
-    n_valid = jnp.sum(mask).astype(jnp.float32)
+    n_valid = jnp.sum(mask).astype(dt)
     rank = jnp.clip(percent, 0.0, 100.0) / 100.0 * jnp.maximum(n_valid - 1.0, 0.0)
     lo = jnp.floor(rank).astype(jnp.int32)
     hi = jnp.ceil(rank).astype(jnp.int32)
-    frac = rank - lo.astype(jnp.float32)
+    frac = rank - lo.astype(dt)
     v_lo = v[lo]
     v_hi = v[hi]
     return v_lo * (1.0 - frac) + v_hi * frac
@@ -39,7 +40,8 @@ def masked_percentile(values: jnp.ndarray, mask: jnp.ndarray,
 
 def softmax_entropy(logits: jnp.ndarray) -> jnp.ndarray:
     """-sum p log(p + 1e-10) over the last axis (loss_helper.py:35-37)."""
-    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    p = jax.nn.softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1)
     return -jnp.sum(p * jnp.log(p + 1e-10), axis=-1)
 
 
@@ -59,13 +61,14 @@ def compute_unsupervised_loss(pred: jnp.ndarray, target: jnp.ndarray,
     thresh = masked_percentile(entropy, valid, percent)
     drop = (entropy >= thresh) & valid
     kept = valid & ~drop
-    n_kept = jnp.sum(kept).astype(jnp.float32)
+    dt = jnp.promote_types(pred.dtype, jnp.float32)
+    n_kept = jnp.sum(kept).astype(dt)
     weight = (b * h * w) / (n_kept + 1e-10)
 
     safe_t = jnp.where(kept, target, 0).astype(jnp.int32)
     logp = _log_softmax(pred)
     nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
-    ce = jnp.sum(nll * kept.astype(jnp.float32)) / jnp.maximum(n_kept, 1.0)
+    ce = jnp.sum(nll * kept.astype(dt)) / jnp.maximum(n_kept, 1.0)
     # reference returns 0 when nothing survives (sum_target == 0)
     return jnp.where(n_kept > 0, weight * ce, 0.0)
 

@@ -321,7 +321,8 @@ def make_u2pl_steps(
 
         # teacher pseudo-labels (eval mode, contrastive.py:221-226)
         out_t_u, _ = teacher_forward(state, image_u, r_t, train=False)
-        prob_u_teacher = jax.nn.softmax(out_t_u["pred"].astype(jnp.float32), -1)
+        prob_u_teacher = jax.nn.softmax(out_t_u["pred"].astype(
+            jnp.promote_types(out_t_u["pred"].dtype, jnp.float32)), -1)
         logits_u_aug = jnp.max(prob_u_teacher, axis=-1)
         label_u_aug = jnp.argmax(prob_u_teacher, axis=-1).astype(jnp.int32)
 
@@ -347,7 +348,8 @@ def make_u2pl_steps(
         out_t_all, t_bs = teacher_forward(state, image_all, r_t, train=True)
         pred_all_teacher = jax.lax.stop_gradient(out_t_all["pred"])
         rep_all_teacher = jax.lax.stop_gradient(out_t_all["rep"])
-        prob_all_teacher = jax.nn.softmax(pred_all_teacher.astype(jnp.float32), -1)
+        prob_all_teacher = jax.nn.softmax(pred_all_teacher.astype(
+            jnp.promote_types(pred_all_teacher.dtype, jnp.float32)), -1)
         prob_l_teacher = prob_all_teacher[:n_labeled]
         prob_u_teacher2 = prob_all_teacher[n_labeled:]
         pred_u_teacher_large = pred_all_teacher[n_labeled:]

@@ -110,7 +110,9 @@ def make_gan_train_step(
             pred_u, bs = g_forward(params_g, bs, batch_u, r_u)
             u_img = _minmax(image_u)
             pred_cat = jnp.concatenate(
-                [jax.nn.softmax(pred_u.astype(jnp.float32), axis=-1), u_img],
+                [jax.nn.softmax(pred_u.astype(
+                    jnp.promote_types(pred_u.dtype, jnp.float32)), axis=-1),
+                 u_img],
                 axis=-1,
             )
             d_vars = {"params": state_d.params, "batch_stats": state_d.batch_stats}
@@ -129,9 +131,10 @@ def make_gan_train_step(
 
             d_z_gt, d_feat_gt = model_d.apply(d_vars, d_cat_gt, train=True,
                                               rngs={"dropout": r_d2})
+            fm_dt = jnp.promote_types(d_feat_gt.dtype, jnp.float32)
             loss_fm = jnp.mean(jnp.abs(
-                jnp.mean(d_feat_gt.astype(jnp.float32), axis=0)
-                - jnp.mean(d_feat_pred.astype(jnp.float32), axis=0)
+                jnp.mean(d_feat_gt.astype(fm_dt), axis=0)
+                - jnp.mean(d_feat_pred.astype(fm_dt), axis=0)
             ))
 
             gate = ((count > 0) & (state_g.step > 0)).astype(jnp.float32)

@@ -41,6 +41,21 @@ def head_mask(params) -> Any:
     return {k: jax.tree.map(lambda _: top(k), v) for k, v in params.items()}
 
 
+def exclude_subtrees(tx: optax.GradientTransformation,
+                     keys=("aux",)) -> optax.GradientTransformation:
+    """Freeze top-level param subtrees entirely (no update, no decay).
+
+    torch optimizers SKIP params whose ``.grad`` is None — the gan method's
+    loss never touches the aux head (gan.py:155-205 reads out["pred"]
+    only), so the reference's aux params receive no update, not even weight
+    decay. optax would still weight-decay a zero-grad param; masking
+    replicates the torch semantics. No-op for trees without the keys."""
+    def mask(params):
+        return {k: jax.tree.map(lambda _: k not in keys, v)
+                for k, v in params.items()}
+    return optax.masked(tx, mask)
+
+
 def make_optimizer(
     base_lr: float,
     max_iter: int,

@@ -116,3 +116,55 @@ def test_pspnet_forward_parity_with_reference():
         variables, jnp.asarray(x.transpose(0, 2, 3, 1))
     )["pred"]
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-3, atol=1e-3)
+
+
+def test_torch_batch_norm_parity():
+    """TorchBatchNorm (models/layers.py) vs torch nn.BatchNorm2d in f64:
+    identical train-mode outputs, identical running stats (including the
+    UNBIASED running_var update torch uses and flax's nn.BatchNorm does
+    not), identical eval-mode outputs. This pins the semantics every
+    composed train-trajectory oracle relies on."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+    from floodseg_tpu.models.layers import batch_norm
+
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return batch_norm(train, dtype=jnp.float64, name="bn")(x)
+
+        rng = np.random.default_rng(0)
+        m = M()
+        v = m.init(KEY, jnp.zeros((2, 5, 5, 7)), train=True)
+        v = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), v)
+        tb = torch.nn.BatchNorm2d(7).double()
+        vars_ = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        for _ in range(3):
+            xi = rng.standard_normal((2, 5, 5, 7))
+            y, mut = m.apply(vars_, jnp.asarray(xi), train=True,
+                             mutable=["batch_stats"])
+            vars_ = {"params": vars_["params"],
+                     "batch_stats": mut["batch_stats"]}
+            yt = tb(torch.from_numpy(xi.transpose(0, 3, 1, 2)))
+            np.testing.assert_allclose(
+                np.asarray(y), yt.detach().numpy().transpose(0, 2, 3, 1),
+                rtol=1e-11, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(vars_["batch_stats"]["bn"]["mean"]),
+            tb.running_mean.numpy(), rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(
+            np.asarray(vars_["batch_stats"]["bn"]["var"]),
+            tb.running_var.numpy(), rtol=1e-12)
+        xe = rng.standard_normal((2, 5, 5, 7))
+        tb.eval()
+        ye = m.apply(vars_, jnp.asarray(xe), train=False)
+        np.testing.assert_allclose(
+            np.asarray(ye), tb(torch.from_numpy(
+                xe.transpose(0, 3, 1, 2))).detach().numpy().transpose(
+                    0, 2, 3, 1),
+            rtol=1e-11, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", old)

@@ -30,10 +30,12 @@ agreement is provable (every tolerance below was measured, round 3):
   tightly after exactly ONE step, and the multi-step trajectory is
   asserted on losses and on the final EVAL-mode forward — function space,
   where mIoU lives.
-- Known benign residue: torch updates running_var with the UNBIASED batch
-  variance (n/(n-1)); flax uses the biased one. At this test's 5x5 deep
-  feature maps (n=50) that is ~1% relative; at production 873^2 crops it
-  is ~4e-5.
+- The biased-vs-unbiased running_var residue that round 3 originally
+  tolerated here is GONE: models/layers.py::TorchBatchNorm now mirrors
+  torch's unbiased running_var update exactly (unit-pinned in
+  test_models.py::test_torch_batch_norm_parity). The remaining stats
+  residual is cross-framework conv summation-order rounding amplified by
+  BN's 1/sqrt(var) rescaling through 50 layers (~1e-4 rel measured).
 """
 
 import sys
@@ -207,13 +209,11 @@ def test_train_trajectory_matches_torch_reference(x64):
     want1 = convert_pspnet_state_dict(step1_sd)
     for sub, got_tree, rtol, atol in (
             ("params", states[1].params, 1e-5, 1e-7),
-            # batch_stats: torch updates running_var with the UNBIASED
-            # batch variance (factor n/(n-1)); at this test's 5x5 deep
-            # feature maps n = 2*25, so the documented residue reaches
-            # ~1% relative (at production 873^2 crops n ~ 24k and the
-            # same residue is ~4e-5). A wrong BN momentum is an O(1)
-            # error and still fails loudly.
-            ("batch_stats", states[1].batch_stats, 2.5e-2, 1e-6)):
+            # batch_stats: TorchBatchNorm matches torch's unbiased
+            # running_var update exactly; what remains is conv rounding
+            # amplified by BN rescaling on deep layers (see module
+            # docstring) — measured ~1e-4 rel.
+            ("batch_stats", states[1].batch_stats, 1e-3, 1e-7)):
         flat_w = jax.tree_util.tree_flatten_with_path(want1[sub])[0]
         assert len(flat_w) > 100  # the full network, not a stub
         for kp, v in flat_w:

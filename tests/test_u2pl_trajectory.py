@@ -1,0 +1,370 @@
+"""Composed U2PL semi-supervised train-trajectory oracle vs the torch
+reference.
+
+Extends the supervised trajectory oracle (test_train_trajectory.py) to the
+HARDEST method: both sides start from one pair of converted state dicts
+(student + teacher PSPNetSemi with the 4096->256 rep head,
+model/pspnet.py:145-161), then run the reference's exact semi-supervised
+recipe (contrastive.py:186-421) with the contrastive term disabled
+(contrastive.py:385-386: ``contra_loss = 0 * rep_all.sum()`` — exactly what
+``ContrastiveConfig(enabled=False)`` produces on our side):
+
+  epoch 0 (warmup):  student OHEM sup step + teacher train-mode BN warmup
+                     forward on the labeled batch (contrastive.py:191-210)
+  boundary (ep 1):   ``t_params.data = s_params.data`` — ALIASES teacher
+                     and student storage (contrastive.py:214-219)
+  epochs 1..2:       eval-mode teacher pseudo-labels, joint student forward
+                     over cat(l, u), OHEM sup + percentile-dropped unsup CE
+                     (loss_helper.py:30-64), one SGD step (poly + head x10,
+                     rep head IS a head group), train-mode teacher joint
+                     forward (updates teacher BN buffers), then the
+                     copy_-based "EMA" — a no-op on aliased storage.
+
+This composes what no other test does: gradients through the rep head
+(whose 0*rep.sum() term must contribute ZERO gradient), the teacher's BN
+buffers evolving through its own train-mode forwards while its params track
+the student exactly (the aliased-teacher semantics), the unsup
+percentile-mask + weight normalization feeding the backward pass, and the
+OHEM selection under a shared optimizer trajectory.
+
+Tolerance methodology follows test_train_trajectory.py (f64 both sides,
+space-aware asserts, every tolerance measured):
+- losses of the first TWO composed steps at numerics precision;
+- params/BN-stats tight after exactly ONE composed step (before
+  ReLU-gradient-mask chaos acts);
+- teacher params bit-identical to the student on BOTH sides after any semi
+  step (the aliasing invariant);
+- final EVAL-mode teacher logits — function space, what `validate` serves
+  after warmup (runner.py eval_fn) — at a calibrated atol.
+"""
+
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+from floodseg_tpu.models.pspnet import PSPNet
+from floodseg_tpu.models.torch_import import convert_pspnet_state_dict
+from floodseg_tpu.train.optim import make_optimizer
+from floodseg_tpu.train.state import TrainState
+from floodseg_tpu.train.contrastive import (
+    ContrastiveConfig, U2PLState, make_u2pl_steps, sync_teacher,
+)
+from floodseg_tpu.train.memory_bank import create_memory_bank
+
+BASE_LR = 0.001
+MAX_ITER = 50
+SIZE = 33
+BATCH = 2
+CLASSES = 5
+MAX_EPOCHS = 4       # steps_per_epoch = 1: step index == epoch index
+SUP_ONLY = 1
+MIN_KEPT = 200       # the selective OHEM regime (reference default 100000
+                     # would be keep-all at 33x33 maps)
+DROP_PERCENT = 80.0
+
+
+@pytest.fixture
+def x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+def _shim_skimage():
+    import types
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        m = types.ModuleType("skimage.measure")
+        m.label = lambda *a, **k: None
+        m.regionprops = lambda *a, **k: []
+        sk.measure = m
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.measure"] = m
+
+
+def _strip_wrapper(sd):
+    """ModelRepresentation state dict -> bare PSPNet naming (+rep.*):
+    the wrapper nests the base net under ``model.`` (wrapper.py:11) while
+    the rep head lives at the top (wrapper.py:15)."""
+    return {(k[6:] if k.startswith("model.") else k): v.clone()
+            for k, v in sd.items()}
+
+
+def _batches(rng):
+    xl = rng.standard_normal((3, BATCH, 3, SIZE, SIZE))
+    yl = rng.integers(0, CLASSES, (3, BATCH, SIZE, SIZE))
+    yl = np.where(rng.random(yl.shape) < 0.05, 255, yl).astype(np.int64)
+    xu = rng.standard_normal((3, BATCH, 3, SIZE, SIZE))
+    return xl, yl, xu
+
+
+def _poly(opt, it, n_back):
+    lr = BASE_LR * (1 - (it + 1) / MAX_ITER) ** 0.9
+    for i, g in enumerate(opt.param_groups):
+        g["lr"] = lr * (10 if i >= n_back else 1)
+
+
+def _run_torch(xl, yl, xu, x_eval):
+    """contrastive.py:186-421 verbatim semantics, contra disabled."""
+    _shim_skimage()
+    from model.pspnet import PSPNetSemi                          # noqa: E402
+    from u2pl.utils.loss_helper import (                         # noqa: E402
+        CriterionOhem, compute_unsupervised_loss,
+    )
+
+    hp = SimpleNamespace(layers=50, classes=CLASSES, pretrained=False,
+                         semisupervised=True)
+    torch.manual_seed(0)
+    student, modules_head, modules_back = PSPNetSemi(hp)
+    torch.manual_seed(1)
+    teacher, _, _ = PSPNetSemi(hp)
+    for net in (student, teacher):
+        net.double()
+        for m in net.modules():
+            if isinstance(m, torch.nn.Dropout2d):
+                m.p = 0.0
+    for p in teacher.parameters():
+        p.requires_grad = False
+    student.train()
+    teacher.train()
+
+    init_s = _strip_wrapper(student.state_dict())
+    init_t = _strip_wrapper(teacher.state_dict())
+
+    crit = CriterionOhem(0.4, thresh=0.7, min_kept=MIN_KEPT, ignore_index=255)
+    groups = [{"params": m.parameters(), "lr": BASE_LR} for m in modules_back]
+    groups += [{"params": m.parameters(), "lr": BASE_LR * 10}
+               for m in modules_head]
+    opt = torch.optim.SGD(groups, lr=BASE_LR, momentum=0.9, weight_decay=1e-4)
+
+    sup_losses, unsup_losses = [], []
+
+    # ---- epoch 0: warmup sup step (contrastive.py:191-210) ----
+    outs = student(torch.from_numpy(xl[0]))
+    sup_loss = crit([outs["pred"], outs["aux"]], torch.from_numpy(yl[0]))
+    loss = sup_loss + 0 * outs["rep"].sum()
+    opt.zero_grad(); loss.backward(); opt.step()
+    _poly(opt, 0, len(modules_back))
+    teacher.train()
+    with torch.no_grad():
+        _ = teacher(torch.from_numpy(xl[0]))     # BN warmup forward
+    sup_losses.append(float(sup_loss.detach()))
+
+    step1_s = _strip_wrapper(student.state_dict())
+    step1_t = _strip_wrapper(teacher.state_dict())
+
+    # ---- epochs 1..2: semi steps ----
+    for e in (1, 2):
+        if e == SUP_ONLY:
+            # boundary ALIASING assignment (contrastive.py:214-219)
+            with torch.no_grad():
+                for tp, sp in zip(teacher.parameters(), student.parameters()):
+                    tp.data = sp.data
+        teacher.eval()
+        with torch.no_grad():
+            pred_u_teacher = teacher(torch.from_numpy(xu[e]))["pred"]
+            prob = torch.softmax(pred_u_teacher, dim=1)
+            _, label_u_aug = torch.max(prob, dim=1)
+        # unsupervised_apply_aug disabled -> no mixing (contrastive.py:228)
+        image_all = torch.cat((torch.from_numpy(xl[e]),
+                               torch.from_numpy(xu[e])))
+        outs = student(image_all)
+        pred_all, rep_all = outs["pred"], outs["rep"]
+        pred_l, pred_u = pred_all[:BATCH], pred_all[BATCH:]
+        sup_loss = crit([pred_l, outs["aux"][:BATCH]],
+                        torch.from_numpy(yl[e]).clone())
+        teacher.train()
+        with torch.no_grad():
+            out_t = teacher(image_all)           # updates teacher BN buffers
+            pred_u_large_teacher = out_t["pred"][BATCH:]
+        percent_unreliable = (100 - DROP_PERCENT) * (1 - e / MAX_EPOCHS)
+        dp = 100 - percent_unreliable
+        unsup_loss = compute_unsupervised_loss(
+            pred_u, label_u_aug.clone(), dp, pred_u_large_teacher.detach())
+        contra_loss = 0 * rep_all.sum()          # contrastive.py:385-386
+        loss = sup_loss + unsup_loss + contra_loss
+        opt.zero_grad(); loss.backward(); opt.step()
+        _poly(opt, e, len(modules_back))
+        # the copy_-based EMA — provably a no-op on the aliased storage
+        with torch.no_grad():
+            for tp, sp in zip(teacher.parameters(), student.parameters()):
+                tp.data.copy_(0.99 * tp.data + 0.01 * sp.data)
+        sup_losses.append(float(sup_loss.detach()))
+        unsup_losses.append(float(unsup_loss.detach()))
+        if e == SUP_ONLY:
+            # aliasing invariant: teacher == student bit-for-bit
+            for tp, sp in zip(teacher.parameters(), student.parameters()):
+                assert tp.data.data_ptr() == sp.data.data_ptr()
+
+    final_s = _strip_wrapper(student.state_dict())
+    final_t = _strip_wrapper(teacher.state_dict())
+    teacher.eval()
+    with torch.no_grad():
+        eval_logits = teacher(torch.from_numpy(x_eval))["pred"].numpy()
+    return (init_s, init_t, sup_losses, unsup_losses,
+            step1_s, step1_t, final_s, final_t, eval_logits)
+
+
+def _to_f64_tree(sd):
+    return jax.tree.map(lambda a: jnp.asarray(a, jnp.float64),
+                        convert_pspnet_state_dict(sd))
+
+
+@pytest.mark.slow
+def test_u2pl_semi_trajectory_matches_torch_reference(x64):
+    rng = np.random.default_rng(7)
+    xl, yl, xu = _batches(rng)
+    x_eval = rng.standard_normal((BATCH, 3, SIZE, SIZE))
+    (init_s, init_t, ref_sup, ref_unsup,
+     step1_s, step1_t, final_s, final_t, ref_eval) = _run_torch(
+        xl, yl, xu, x_eval)
+
+    model = PSPNet(classes=CLASSES, layers=50, dropout=0.0, with_aux=True,
+                   with_rep=True, dtype=jnp.float64)
+    tx = make_optimizer(BASE_LR, MAX_ITER, "sgd", momentum=0.9,
+                        weight_decay=1e-4)
+    pre_s = _to_f64_tree(init_s)
+    pre_t = _to_f64_tree(init_t)
+    # the converted trees must cover the model's entire variable structure
+    variables0 = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((BATCH, SIZE, SIZE, 3)), train=True))()
+    for ref_tree, got_tree in ((variables0["params"], pre_s["params"]),
+                               (variables0["batch_stats"],
+                                pre_s["batch_stats"])):
+        assert jax.tree.structure(ref_tree) == jax.tree.structure(got_tree)
+
+    state = U2PLState(
+        student=TrainState(step=jnp.zeros((), jnp.int32),
+                           params=pre_s["params"],
+                           batch_stats=pre_s["batch_stats"],
+                           opt_state=tx.init(pre_s["params"]), tx=tx),
+        teacher_params=pre_t["params"],
+        teacher_batch_stats=pre_t["batch_stats"],
+        bank=create_memory_bank(CLASSES, 256, 512, 1024),
+    )
+
+    cfg = ContrastiveConfig(enabled=False)
+    sup_step, semi_step = make_u2pl_steps(
+        model, CLASSES, cfg, ignore_index=255, aux_weight=0.4,
+        ohem_thresh=0.7, ohem_min_kept=MIN_KEPT,
+        unsupervised_apply_aug="", unsupervised_drop_percent=DROP_PERCENT,
+        unsupervised_loss_weight=1.0)
+    sup_step = jax.jit(sup_step)
+    semi_step = jax.jit(semi_step)
+
+    def batch_at(e, with_u):
+        b = {"l": {"frame_current": jnp.asarray(xl[e].transpose(0, 2, 3, 1)),
+                   "label": jnp.asarray(yl[e].astype(np.int32))}}
+        if with_u:
+            b["u"] = {"frame_current":
+                      jnp.asarray(xu[e].transpose(0, 2, 3, 1))}
+        else:
+            b["u"] = {"frame_current":
+                      jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float64)}
+        return b
+
+    our_sup, our_unsup = [], []
+    # epoch 0: warmup
+    state, m = sup_step(state, batch_at(0, False), jax.random.PRNGKey(0))
+    our_sup.append(float(m["sup_loss"]))
+    state_after_sup = state
+    # boundary + semi epochs
+    state = sync_teacher(state)
+    for e in (1, 2):
+        state, m = semi_step(state, batch_at(e, True),
+                             jax.random.PRNGKey(e),
+                             jnp.float64(e / MAX_EPOCHS),
+                             jnp.int32(e - SUP_ONLY))
+        our_sup.append(float(m["sup_loss"]))
+        our_unsup.append(float(m["unsup_loss"]))
+        # aliasing invariant on our side: teacher params ARE the student's
+        for t, s in zip(jax.tree.leaves(state.teacher_params),
+                        jax.tree.leaves(state.student.params)):
+            np.testing.assert_array_equal(np.asarray(t), np.asarray(s))
+
+    # ---- losses ----
+    # step 0 (sup) is a pure composed forward — numerics precision. Step 1
+    # (first semi: composes pseudo-labels, the percentile-dropped unsup CE,
+    # the rep head's zero-gradient term) inherits the ~1e-9 step-0 param
+    # drift through 50 BN layers: measured residual 1.1e-6 rel on the unsup
+    # term (whose kept-count renormalization amplifies slightly) -> 5e-6.
+    # Step 2 composes the full trajectory and carries the documented
+    # ReLU-mask chaos amplification -> 1e-2.
+    np.testing.assert_allclose(our_sup[:1], ref_sup[:1], rtol=1e-7)
+    np.testing.assert_allclose(our_sup[:2], ref_sup[:2], rtol=5e-6)
+    np.testing.assert_allclose(our_unsup[:1], ref_unsup[:1], rtol=5e-6)
+    np.testing.assert_allclose(our_sup, ref_sup, rtol=1e-2)
+    np.testing.assert_allclose(our_unsup, ref_unsup, rtol=1e-2)
+
+    # ---- state after exactly ONE composed step (the warmup step) ----
+    want_s1 = convert_pspnet_state_dict(step1_s)
+    want_t1 = convert_pspnet_state_dict(step1_t)
+    checks = (
+        ("student/params", want_s1["params"], state_after_sup.student.params,
+         1e-5, 1e-7),
+        # batch_stats: TorchBatchNorm mirrors torch's unbiased running_var
+        # update exactly (models/layers.py; unit-pinned in
+        # test_models.py::test_torch_batch_norm_parity), so the old 1%
+        # biased-var residue is GONE. The remaining measured residual
+        # (9e-5 rel / 1.7e-8 abs on deep-layer running means) is
+        # cross-framework conv summation-order rounding amplified by BN's
+        # 1/sqrt(var) rescaling through 50 layers.
+        ("student/stats", want_s1["batch_stats"],
+         state_after_sup.student.batch_stats, 1e-3, 1e-7),
+        # the teacher's warmup BN forward must have updated ITS buffers
+        ("teacher/stats", want_t1["batch_stats"],
+         state_after_sup.teacher_batch_stats, 1e-3, 1e-7),
+    )
+    for name, want_tree, got_tree, rtol, atol in checks:
+        flat_w = jax.tree_util.tree_flatten_with_path(want_tree)[0]
+        assert len(flat_w) > 100, name
+        for kp, v in flat_w:
+            node = got_tree
+            for k in kp:
+                node = node[k.key]
+            np.testing.assert_allclose(
+                np.asarray(node, np.float64), np.asarray(v, np.float64),
+                rtol=rtol, atol=atol,
+                err_msg=name + "/" + "/".join(str(k.key) for k in kp))
+
+    # teacher params untouched by the warmup step (sync happens at the
+    # boundary, not before)
+    for kp, v in jax.tree_util.tree_flatten_with_path(
+            convert_pspnet_state_dict(init_t)["params"])[0]:
+        node = state_after_sup.teacher_params
+        for k in kp:
+            node = node[k.key]
+        np.testing.assert_array_equal(np.asarray(node), np.asarray(v))
+
+    # ---- cross-framework aliasing invariant after the trajectory ----
+    for kp, v in jax.tree_util.tree_flatten_with_path(
+            convert_pspnet_state_dict(final_t)["params"])[0]:
+        w = convert_pspnet_state_dict(final_s)["params"]
+        node = w
+        for k in kp:
+            node = node[k.key]
+        np.testing.assert_array_equal(np.asarray(node, np.float64),
+                                      np.asarray(v, np.float64))
+
+    # ---- function space: final EVAL-mode TEACHER forward ----
+    # This is what `validate` serves after warmup (runner eval_fn) — it
+    # composes the aliased params AND the teacher's train-mode-evolved BN
+    # buffers. Calibrated atol: see module docstring methodology.
+    our_eval = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False)["pred"]
+    )({"params": state.teacher_params,
+       "batch_stats": state.teacher_batch_stats},
+      jnp.asarray(x_eval.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(our_eval, ref_eval.transpose(0, 2, 3, 1),
+                               atol=5e-2)
