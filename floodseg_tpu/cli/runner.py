@@ -517,8 +517,8 @@ class Runner:
                                   head_lr_scale=1.0, power=m.power)
             # The gan loss never touches the aux head — torch skips those
             # params entirely (see exclude_subtrees; no-op for archs
-            # without an aux head, e.g. the flow models).
-            tx_g = exclude_subtrees(tx, ("aux",))
+            # without an aux head, e.g. vit and the flow models).
+            tx_g = exclude_subtrees(tx, ("aux", "aux_classifier"))
             state_g = create_train_state(self.model, self.rng, self.sample_input,
                                          tx_g, pretrained_variables=pre)
             state_d = create_train_state(

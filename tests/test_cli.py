@@ -146,6 +146,33 @@ def test_fit_vit_cli(tmp_path, synth_root):
     assert "test_miou1_epoch" in metrics
 
 
+@pytest.mark.slow
+def test_fit_contrastive_vit_cli(tmp_path, synth_root):
+    """U2PL over the vit arch (reference contrastive.py:122-124 VITSemi:
+    1-layer n_cls=256 MaskTransformer rep head, Adam optimizer) — the
+    teacher has no BN buffers, exercising the empty-batch_stats path."""
+    path = _mini_config(tmp_path, synth_root, "contrastive")
+    assert _run(["fit", "--config", path, "--model.arch", "vit",
+                 "--model.optim.optim", "Adam",
+                 "--trainer.run_name", "t_con_vit"]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_con_vit" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
+
+
+@pytest.mark.slow
+def test_fit_gan_deeplab_cli(tmp_path, synth_root):
+    """s4GAN over the deeplabv3 arch (reference gan.py:92-95): the
+    loss-untouched aux_classifier subtree must stay frozen (torch
+    None-grad skip semantics, runner's exclude_subtrees mask)."""
+    path = _mini_config(tmp_path, synth_root, "gan")
+    assert _run(["fit", "--config", path, "--model.arch", "deeplabv3",
+                 "--trainer.run_name", "t_gan_dl"]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_gan_dl" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
+
+
 def test_unlabeled_fallback_splits_train(tmp_path, synth_root):
     """Without train_u.txt, train.txt is random-split into DISJOINT l/u sets
     by data_ratio — the labeled set shrinks too (reference
