@@ -213,7 +213,13 @@ def main():
         log(f"streaming: {n_clips * FRAME_DELTA} frames in {dt_s:.3f}s -> "
             f"{extras['streaming_fps']} frames/s (loader in loop)")
 
-    if args.multiclip > 1:
+    if args.multiclip == 1:
+        log("--multiclip 1 is the default single-clip path; "
+            "pass B >= 2 to measure the batched-window variant")
+    if args.multiclip > 1 and len(batches) - 1 < args.multiclip:
+        log(f"--multiclip {args.multiclip} skipped: only {len(batches) - 1} "
+            "clip windows available after the compile batch")
+    elif args.multiclip > 1:
         B = args.multiclip
         # B windows per dispatch: vmap the whole window program over a new
         # leading clip axis — the encoder/decoder convs then run at batch

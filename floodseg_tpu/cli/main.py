@@ -33,6 +33,15 @@ def build_parser():
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit JAX_PLATFORMS even under launchers whose
+        # sitecustomize force-sets jax_platforms at interpreter start
+        # (which would otherwise silently steal the TPU tunnel from a
+        # run that asked for cpu). No-op when the env var is unset.
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
     args, extra = parser.parse_known_args(argv)
@@ -67,10 +76,23 @@ def main(argv=None):
         import jax
         kw = {}
         if os.environ.get("FLOODSEG_COORDINATOR"):
+            # Explicit rendezvous must be fully specified: defaulting a
+            # missing NUM_PROCESSES/PROCESS_ID to a 1-process topology
+            # would make every pod host train independently instead of
+            # failing loudly on a half-configured launch.
+            missing = [v for v in ("FLOODSEG_NUM_PROCESSES",
+                                   "FLOODSEG_PROCESS_ID")
+                       if os.environ.get(v) is None]
+            if missing:
+                raise RuntimeError(
+                    "FLOODSEG_COORDINATOR is set but "
+                    f"{', '.join(missing)} is not; explicit multihost "
+                    "rendezvous needs all three (MASTER_ADDR/WORLD_SIZE/"
+                    "RANK equivalents)")
             kw = dict(
                 coordinator_address=os.environ["FLOODSEG_COORDINATOR"],
-                num_processes=int(os.environ.get("FLOODSEG_NUM_PROCESSES", "1")),
-                process_id=int(os.environ.get("FLOODSEG_PROCESS_ID", "0")),
+                num_processes=int(os.environ["FLOODSEG_NUM_PROCESSES"]),
+                process_id=int(os.environ["FLOODSEG_PROCESS_ID"]),
             )
         jax.distributed.initialize(**kw)
         print(f"[multihost] jax.distributed initialized: "

@@ -386,8 +386,11 @@ class Runner:
                         break
 
         self.ckpt.wait()  # drain async checkpoint writes before returning
-        self.logger.update_summary({"best_val_miou": best_metric,
-                                    "best_epoch": best_epoch})
+        if np.isfinite(best_metric):
+            self.logger.update_summary({"best_val_miou": best_metric,
+                                        "best_epoch": best_epoch})
+        else:  # no validation epoch ever ran: -inf would break metrics.json
+            self.logger.update_summary({"best_epoch": best_epoch})
         self._state = state
         return state
 

@@ -258,7 +258,7 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
             per = [np.stack(v, axis=0) for v in vals]        # (T, gh, gw, 2)
             out[k] = np.stack(per, axis=1).astype(np.float32)  # (T, B, ...)
         elif k in ("left_index", "right_index", "frame_id",
-                   "prev_frame_id", "next_frame_id"):
+                   "prev_frame_id", "next_frame_id", "target"):
             out[k] = np.asarray(vals, dtype=np.int32)
         elif k == "label":
             out[k] = np.stack(vals).astype(np.int32)

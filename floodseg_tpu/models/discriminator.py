@@ -26,7 +26,10 @@ class S4GANDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, classes+3) softmax-pred ⊕ normalized image."""
-        drop = lambda y: nn.Dropout(self.dropout, deterministic=not train)(y)
+        # Reference uses nn.Dropout2d (util/gan.py:14): CHANNEL dropout —
+        # whole feature maps zeroed per sample. NHWC ⇒ broadcast over H, W.
+        drop = lambda y: nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                                    deterministic=not train)(y)
         y = conv(self.ndf, 4, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
         y = drop(nn.leaky_relu(y, 0.2))
         y = conv(self.ndf * 2, 4, stride=2, padding=1, dtype=self.dtype, name="conv2")(y)

@@ -126,6 +126,7 @@ class ImageFolderClsDataset:
         cs = self.crop_size
         if self.split == "train":
             # RandomResizedCrop(scale 0.08-1, ratio 3/4-4/3) + hflip
+            cropped = False
             for _ in range(10):
                 area = h * w * rng.uniform(0.08, 1.0)
                 ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
@@ -135,7 +136,21 @@ class ImageFolderClsDataset:
                     y0 = rng.integers(0, h - ch + 1)
                     x0 = rng.integers(0, w - cw + 1)
                     im = im[y0:y0 + ch, x0:x0 + cw]
+                    cropped = True
                     break
+            if not cropped:
+                # torchvision fallback: center crop with the aspect ratio
+                # clamped to [3/4, 4/3] (never the raw distorted image)
+                in_ratio = w / h
+                if in_ratio < 3 / 4:
+                    cw, ch = w, min(h, int(round(w / (3 / 4))))
+                elif in_ratio > 4 / 3:
+                    cw, ch = min(w, int(round(h * (4 / 3)))), h
+                else:
+                    cw, ch = w, h
+                y0 = (h - ch) // 2
+                x0 = (w - cw) // 2
+                im = im[y0:y0 + ch, x0:x0 + cw]
             im = cv2.resize(im, (cs, cs), interpolation=cv2.INTER_CUBIC)
             if rng.random() < 0.5:
                 im = im[:, ::-1]

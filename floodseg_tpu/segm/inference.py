@@ -59,9 +59,19 @@ def sliding_inference(
         ha = window_anchors(h, ws, window_stride)
         wa = window_anchors(w, ws, window_stride)
         crops = np.stack([im[a:a + ws, b:b + ws] for a in ha for b in wa])
+        # Bucket the window count to the next power of two: with aspect-
+        # preserving eval resizes n_windows varies per image, and an exact
+        # batch shape would recompile the jitted forward for every distinct
+        # count. Zero-padded windows are discarded after the forward.
+        n = crops.shape[0]
+        n_pad = 1 << (n - 1).bit_length()
+        if n_pad != n:
+            crops = np.concatenate(
+                [crops, np.zeros((n_pad - n,) + crops.shape[1:],
+                                 crops.dtype)])
         logits = np.asarray(
             forward(variables, jnp.asarray(crops)), np.float32
-        )  # (n_windows, ws, ws, C)
+        )[:n]  # (n_windows, ws, ws, C)
 
         acc = np.zeros((h, w, num_classes), np.float32)
         cnt = np.zeros((h, w, 1), np.float32)

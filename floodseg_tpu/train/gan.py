@@ -27,7 +27,8 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from floodseg_tpu.ops.losses import binary_cross_entropy, cross_entropy_loss
+from floodseg_tpu.ops.losses import (binary_cross_entropy, cross_entropy_loss,
+                                     feature_matching_loss)
 from floodseg_tpu.ops.metrics import intersection_and_union
 from floodseg_tpu.train.flow import flow_train_forward
 
@@ -131,11 +132,7 @@ def make_gan_train_step(
 
             d_z_gt, d_feat_gt = model_d.apply(d_vars, d_cat_gt, train=True,
                                               rngs={"dropout": r_d2})
-            fm_dt = jnp.promote_types(d_feat_gt.dtype, jnp.float32)
-            loss_fm = jnp.mean(jnp.abs(
-                jnp.mean(d_feat_gt.astype(fm_dt), axis=0)
-                - jnp.mean(d_feat_pred.astype(fm_dt), axis=0)
-            ))
+            loss_fm = feature_matching_loss(d_feat_pred, d_feat_gt)
 
             gate = ((count > 0) & (state_g.step > 0)).astype(jnp.float32)
             loss_s = loss_ce + lambda_fm * loss_fm + gate * lambda_st * loss_st

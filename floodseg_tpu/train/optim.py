@@ -49,11 +49,22 @@ def exclude_subtrees(tx: optax.GradientTransformation,
     loss never touches the aux head (gan.py:155-205 reads out["pred"]
     only), so the reference's aux params receive no update, not even weight
     decay. optax would still weight-decay a zero-grad param; masking
-    replicates the torch semantics. No-op for trees without the keys."""
+    replicates the torch semantics. No-op for trees without the keys.
+
+    ``optax.masked`` passes masked-out updates through UNCHANGED (raw
+    +gradient = ascent), so the excluded subtrees are additionally zeroed —
+    the subtree stays frozen even if a future loss gives it nonzero
+    grads."""
     def mask(params):
         return {k: jax.tree.map(lambda _: k not in keys, v)
                 for k, v in params.items()}
-    return optax.masked(tx, mask)
+
+    def inv_mask(params):
+        return {k: jax.tree.map(lambda _: k in keys, v)
+                for k, v in params.items()}
+
+    return optax.chain(optax.masked(tx, mask),
+                       optax.masked(optax.set_to_zero(), inv_mask))
 
 
 def make_optimizer(

@@ -173,6 +173,46 @@ def test_fit_gan_deeplab_cli(tmp_path, synth_root):
     assert "test_miou1_epoch" in metrics
 
 
+@pytest.mark.slow
+def test_gan_deeplab_aux_stays_frozen(tmp_path, synth_root):
+    """The runner's exclude_subtrees key must match deeplabv3's ACTUAL param
+    tree: one real gan step through the product wiring leaves aux_classifier
+    bit-identical (torch None-grad skip — the gan loss never reads the aux
+    output) while the main classifier moves. Guards against a head rename or
+    mask-key typo silently re-enabling weight decay on the aux params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "gan")
+    cfg = load_config([path], {"model.arch": "deeplabv3",
+                               "trainer.run_name": "t_gan_dl_frz"})
+    runner = Runner(cfg)
+    state, train_fn, _ = runner._build_states_and_steps(max_iter=10)
+    aux0 = jax.tree.map(np.array, state[0].params["aux_classifier"])
+    cls0 = jax.tree.map(np.array, state[0].params["classifier"])
+
+    h, w = cfg.data.train_h, cfg.data.train_w
+    rng = np.random.default_rng(0)
+
+    def part():
+        return {"frame_current": jnp.asarray(
+                    rng.standard_normal((2, h, w, 3)), jnp.float32),
+                "label": jnp.asarray(rng.integers(0, 5, (2, h, w)), jnp.int32)}
+
+    batch = {"l": part(), "u": part(), "gt": part()}
+    state2, _ = train_fn(state, batch, jax.random.PRNGKey(0), 0)
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 state2[0].params["aux_classifier"], aux0)
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state2[0].params["classifier"], cls0))
+    assert max(moved) > 0.0
+
+
 def test_unlabeled_fallback_splits_train(tmp_path, synth_root):
     """Without train_u.txt, train.txt is random-split into DISJOINT l/u sets
     by data_ratio — the labeled set shrinks too (reference
@@ -438,6 +478,21 @@ def test_multihost_entry_initializes(tmp_path, synth_root):
         cwd=root, env=env, capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "[multihost] jax.distributed initialized: process 0/1" in res.stdout
+
+
+def test_multihost_rejects_partial_rendezvous(tmp_path, synth_root,
+                                              monkeypatch):
+    """FLOODSEG_COORDINATOR without NUM_PROCESSES/PROCESS_ID must fail
+    loudly — defaulting to a 1-process topology would silently run every
+    pod host as an independent training."""
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    monkeypatch.setenv("FLOODSEG_MULTIHOST", "1")
+    monkeypatch.setenv("FLOODSEG_COORDINATOR", "localhost:12656")
+    monkeypatch.delenv("FLOODSEG_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("FLOODSEG_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="FLOODSEG_NUM_PROCESSES"):
+        _run(["validate", "--config", path,
+              "--trainer.run_name", "t_mh_partial"])
 
 
 def test_check_val_every_n_epoch(tmp_path, synth_root, monkeypatch):

@@ -142,14 +142,6 @@ def test_train_forward_matches_reference(feature_based):
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
 
 
-@pytest.fixture
-def x64():
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
 @pytest.mark.parametrize("feature_based", [True, False])
 def test_train_backward_matches_reference(feature_based, x64):
     """GRADIENT parity of the composed flow train forward (f64 both sides):

@@ -67,14 +67,6 @@ LAMBDA_FM = 0.1
 LAMBDA_ST = 1.0
 
 
-@pytest.fixture
-def x64():
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
 def _batches(rng):
     xl = rng.standard_normal((STEPS, BATCH, 3, SIZE, SIZE))
     yl = rng.integers(0, CLASSES, (STEPS, BATCH, SIZE, SIZE))

@@ -43,6 +43,8 @@ from types import SimpleNamespace
 
 import numpy as np
 import pytest
+
+from oracle_shims import shim_skimage
 import jax
 import jax.numpy as jnp
 
@@ -71,28 +73,6 @@ BATCH = 2
 CLASSES = 5
 
 
-@pytest.fixture
-def x64():
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
-def _shim_skimage():
-    """The reference's u2pl.utils imports skimage (absent here) for cutmix
-    bank machinery we don't exercise — stub it for the oracle import."""
-    import types
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        m = types.ModuleType("skimage.measure")
-        m.label = lambda *a, **k: None
-        m.regionprops = lambda *a, **k: []
-        sk.measure = m
-        sys.modules["skimage"] = sk
-        sys.modules["skimage.measure"] = m
-
-
 def _batches(rng):
     xs = rng.standard_normal((STEPS, BATCH, 3, SIZE, SIZE))
     ys = rng.integers(0, CLASSES, (STEPS, BATCH, SIZE, SIZE))
@@ -106,7 +86,7 @@ def _run_torch(xs, ys, x_eval):
     (supervised.py:122-151 + foundation.py:124-132). Returns the init
     state dict, per-step losses, the state dict after step 1 and after the
     last step, and the final model's EVAL-mode logits on x_eval."""
-    _shim_skimage()
+    shim_skimage()
     from model.pspnet import PSPNet as RefPSPNet          # noqa: E402
     from u2pl.utils.loss_helper import Criterion          # noqa: E402
 

@@ -5,6 +5,8 @@ import sys
 
 import numpy as np
 import pytest
+
+from oracle_shims import shim_skimage
 import torch
 import jax
 import jax.numpy as jnp
@@ -32,23 +34,9 @@ def test_masked_percentile_matches_numpy():
         assert abs(ours - ref) < 1e-5, (pct, ours, ref)
 
 
-def _shim_skimage():
-    """The reference's u2pl.utils imports skimage (absent here) for cutmix
-    bank machinery we don't exercise — stub it for the oracle import."""
-    import types
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        m = types.ModuleType("skimage.measure")
-        m.label = lambda *a, **k: None
-        m.regionprops = lambda *a, **k: []
-        sk.measure = m
-        sys.modules["skimage"] = sk
-        sys.modules["skimage.measure"] = m
-
-
 def test_unsupervised_loss_matches_reference():
     sys.path.insert(0, "/root/reference")
-    _shim_skimage()
+    shim_skimage()
     from u2pl.utils.loss_helper import compute_unsupervised_loss as ref_loss
 
     rng = np.random.default_rng(1)
@@ -73,7 +61,7 @@ def test_unsupervised_loss_matches_reference():
 
 def test_label_onehot_matches_reference():
     sys.path.insert(0, "/root/reference")
-    _shim_skimage()
+    shim_skimage()
     from u2pl.utils.utils import label_onehot as ref_onehot
 
     labels = np.array([[[0, 1, 255], [4, 2, 255]]], dtype=np.int64)

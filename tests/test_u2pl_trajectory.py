@@ -43,6 +43,8 @@ from types import SimpleNamespace
 
 import numpy as np
 import pytest
+
+from oracle_shims import shim_skimage
 import jax
 import jax.numpy as jnp
 
@@ -72,26 +74,6 @@ MIN_KEPT = 200       # the selective OHEM regime (reference default 100000
 DROP_PERCENT = 80.0
 
 
-@pytest.fixture
-def x64():
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
-def _shim_skimage():
-    import types
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        m = types.ModuleType("skimage.measure")
-        m.label = lambda *a, **k: None
-        m.regionprops = lambda *a, **k: []
-        sk.measure = m
-        sys.modules["skimage"] = sk
-        sys.modules["skimage.measure"] = m
-
-
 def _strip_wrapper(sd):
     """ModelRepresentation state dict -> bare PSPNet naming (+rep.*):
     the wrapper nests the base net under ``model.`` (wrapper.py:11) while
@@ -116,7 +98,7 @@ def _poly(opt, it, n_back):
 
 def _run_torch(xl, yl, xu, x_eval):
     """contrastive.py:186-421 verbatim semantics, contra disabled."""
-    _shim_skimage()
+    shim_skimage()
     from model.pspnet import PSPNetSemi                          # noqa: E402
     from u2pl.utils.loss_helper import (                         # noqa: E402
         CriterionOhem, compute_unsupervised_loss,

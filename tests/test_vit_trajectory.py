@@ -41,14 +41,6 @@ MAX_ITER = 50
 BATCH = 2
 
 
-@pytest.fixture
-def x64():
-    old = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    yield
-    jax.config.update("jax_enable_x64", old)
-
-
 def _torch_params():
     g = torch.Generator().manual_seed(2)
 
