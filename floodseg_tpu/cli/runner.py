@@ -16,6 +16,7 @@ flow_supervised.py, flow_gan.py):
   and video writing (flow/base.py:226-344).
 """
 
+import json
 import os
 import time
 import uuid
@@ -34,7 +35,7 @@ from floodseg_tpu.data import (
 )
 from floodseg_tpu.data.transforms import Compose
 from floodseg_tpu.models import build_model, S4GANDiscriminator, FLOW_ARCHS
-from floodseg_tpu.ops.metrics import MetricMeter
+from floodseg_tpu.ops.metrics import MetricMeter, intersection_and_union
 from floodseg_tpu.train.optim import (exclude_subtrees, make_optimizer,
                                       poly_schedule)
 from floodseg_tpu.train.state import create_train_state
@@ -237,19 +238,29 @@ class Runner:
         rng = np.random.default_rng(self.cfg.trainer.seed)
         perm = rng.permutation(len(items))
         size_l = int(self.cfg.data.data_ratio * len(items))
-        ds_l.items = [items[i] for i in perm[:size_l]] or list(items)
-        ds_u.items = [items[i] for i in perm[size_l:]] or list(items)
+        if size_l == 0 or size_l == len(items):
+            # silently overlapping l/u sets would fake semi-supervision;
+            # the reference's random_split([size_l, 0]) starves its
+            # unlabeled loader the same way, just without the message
+            raise ValueError(
+                f"data.data_ratio={self.cfg.data.data_ratio} splits "
+                f"{len(items)} train items into l={size_l}/"
+                f"u={len(items) - size_l}; a semi-supervised method needs "
+                "both non-empty — adjust data_ratio or provide train_u.txt")
+        ds_l.items = [items[i] for i in perm[:size_l]]
+        ds_u.items = [items[i] for i in perm[size_l:]]
         for ds in (ds_l, ds_u):
             if hasattr(ds, "length"):
                 ds.length = len(ds.items)
         return ds_l, ds_u
 
     def _loader(self, ds, batch_size, shuffle=False, infinite=False,
-                drop_last=False, device_put=None, workers=None):
+                drop_last=False, device_put=None, workers=None,
+                seed_offset=0):
         d = self.cfg.data
         return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
                           num_workers=d.workers if workers is None else workers,
-                          seed=self.cfg.trainer.seed,
+                          seed=self.cfg.trainer.seed + seed_offset,
                           infinite=infinite, drop_last=drop_last,
                           device_put=device_put)
 
@@ -257,21 +268,33 @@ class Runner:
     # fit
     # ------------------------------------------------------------------
 
-    def fit(self):
+    def _train_loaders(self, tf):
+        """Infinite per-role train loaders + steps_per_epoch.
+
+        Per-device batch semantics: data.batch_size is per chip and each
+        loader yields the global batch, like Lightning DDP where each of N
+        processes loads batch_size samples (configs/train_base.yaml:22-24).
+        Each role gets its OWN shuffle stream (seed offset): the reference
+        uses independent shuffle=True DataLoaders per role (gan.py:261-275)
+        — with a shared stream the gan "gt" batch would be bit-identical to
+        the "l" batch every step."""
         cfg = self.cfg
-        tf = self._transforms()
         train_l, train_u = self._train_datasets(
             tf["train"], need_unlabeled=cfg.method in SEMI_METHODS)
-        # per-device batch semantics: data.batch_size is per chip and the
-        # loader yields the global batch, like Lightning DDP where each of
-        # N processes loads batch_size samples (configs/train_base.yaml:22-24)
         global_batch = cfg.data.batch_size * self.num_devices
-        if self.mesh is not None and global_batch > len(train_l):
+        # an infinite drop_last loader over a set smaller than the batch
+        # yields NOTHING and the fit loop would block on next() forever —
+        # fail loudly instead (any device count)
+        small = {name: len(ds) for name, ds in
+                 (("labeled", train_l),) + ((("unlabeled", train_u),)
+                                            if train_u is not None else ())
+                 if len(ds) < global_batch}
+        if small:
             raise ValueError(
                 f"global batch {global_batch} ({cfg.data.batch_size} x "
-                f"{self.num_devices} devices) exceeds the labeled train set "
-                f"({len(train_l)}); lower data.batch_size or "
-                f"trainer.num_devices")
+                f"{self.num_devices} devices) exceeds the train set(s) "
+                f"{small}; lower data.batch_size / trainer.num_devices or "
+                f"adjust data.data_ratio")
         # the producer thread does the host->device transfer (and mesh
         # sharding), overlapping it with the previous step's compute
         loaders = {"l": self._loader(train_l, global_batch, shuffle=True,
@@ -281,25 +304,39 @@ class Runner:
         if train_u is not None:
             loaders["u"] = self._loader(train_u, global_batch,
                                         shuffle=True, infinite=True,
-                                        drop_last=True,
+                                        drop_last=True, seed_offset=1,
                                         device_put=self._device_batch)
             # max_size_cycle (configs/train_base.yaml:38)
             steps_per_epoch = max(steps_per_epoch,
                                   len(train_u) // global_batch)
         if cfg.method in ("gan", "flow_gan"):
+            # the discriminator's real examples come from the LABELED split
+            # (reference gan.py:270 builds the gt loader over
+            # dataset_train_l) — never from images whose labels belong to
+            # the unlabeled split
             train_gt = self._dataset("train", "train.txt", "gt", tf["train"])
+            train_gt.items = list(train_l.items)
+            if hasattr(train_gt, "length"):
+                train_gt.length = len(train_gt.items)
             loaders["gt"] = self._loader(train_gt, global_batch,
                                          shuffle=True, infinite=True,
-                                         drop_last=True,
+                                         drop_last=True, seed_offset=2,
                                          device_put=self._device_batch)
-        if cfg.trainer.limit_train_batches:
-            steps_per_epoch = min(steps_per_epoch, cfg.trainer.limit_train_batches)
+        if cfg.trainer.limit_train_batches is not None:
+            steps_per_epoch = min(steps_per_epoch,
+                                  cfg.trainer.limit_train_batches)
+        return loaders, steps_per_epoch
 
+    def fit(self):
+        cfg = self.cfg
+        tf = self._transforms()
+        loaders, steps_per_epoch = self._train_loaders(tf)
         val_ds = self._dataset("val", "val.txt", "l", tf["val"])
         val_loader = self._loader(val_ds, cfg.data.batch_size_val)
 
         max_iter = self._max_iter(steps_per_epoch)
         state, train_fn, eval_fn = self._build_states_and_steps(max_iter)
+        self._eval_fn = eval_fn  # reused by a later validate() call
 
         start_epoch = 0
         if cfg.trainer.resume and self.ckpt.last_path is not None:
@@ -314,6 +351,17 @@ class Runner:
 
         best_metric, best_epoch = -np.inf, -1
         wait_count = 0  # EarlyStopping counts VALIDATION checks, not epochs
+        # EarlyStopping state survives resume (Lightning restores the
+        # callback from the checkpoint): without it the first post-resume
+        # validation always counts as an improvement and patience restarts
+        es_path = os.path.join(self.logger.log_dir, "early_stop.json")
+        if start_epoch > 0 and os.path.exists(es_path):
+            with open(es_path) as f:
+                es = json.load(f)
+            best_metric = (-np.inf if es.get("best_metric") is None
+                           else float(es["best_metric"]))
+            best_epoch = int(es.get("best_epoch", -1))
+            wait_count = int(es.get("wait_count", 0))
         val_every = max(1, cfg.trainer.check_val_every_n_epoch)
         global_step = start_epoch * steps_per_epoch
         iters = {k: iter(v) for k, v in loaders.items()}
@@ -348,12 +396,16 @@ class Runner:
             # validation (flow: whole-frame interp; single-frame: center
             # crop), every check_val_every_n_epoch epochs
             # (configs/train_base.yaml:12, honored by the Lightning Trainer)
-            do_val = (epoch + 1) % val_every == 0
+            # limit_val_batches=0 disables validation entirely (Lightning
+            # semantics); None = unlimited
+            do_val = ((epoch + 1) % val_every == 0
+                      and cfg.trainer.limit_val_batches != 0)
             ckpt_metrics = {}
             if do_val:
                 val_meter = MetricMeter(self.num_classes)
                 for bi, batch in enumerate(val_loader):
-                    if cfg.trainer.limit_val_batches and bi >= cfg.trainer.limit_val_batches:
+                    if cfg.trainer.limit_val_batches is not None \
+                            and bi >= cfg.trainer.limit_val_batches:
                         break
                     m = eval_fn(state, _jnp_batch(batch), epoch)
                     val_meter.update(m["intersection"], m["union"], m["target"])
@@ -374,6 +426,7 @@ class Runner:
             self.ckpt.save(state, epoch, ckpt_metrics)
 
             # EarlyStopping(patience, min_delta) on val_miou_epoch (cli.py:104)
+            stop = False
             if do_val:
                 if val_miou > best_metric + cfg.trainer.early_stopping_min_delta:
                     best_metric, best_epoch, wait_count = val_miou, epoch, 0
@@ -383,7 +436,15 @@ class Runner:
                         print(f"early stopping at epoch {epoch} "
                               f"(best {best_metric:.4f} @ {best_epoch})",
                               flush=True)
-                        break
+                        stop = True
+            with open(es_path, "w") as f:
+                json.dump({"best_metric": (float(best_metric)
+                                           if np.isfinite(best_metric)
+                                           else None),
+                           "best_epoch": best_epoch,
+                           "wait_count": wait_count}, f)
+            if stop:
+                break
 
         self.ckpt.wait()  # drain async checkpoint writes before returning
         if np.isfinite(best_metric):
@@ -656,8 +717,15 @@ class Runner:
             st = state[0]
             return {"params": st.params, "batch_stats": st.batch_stats}
         if self.cfg.method == "contrastive":
-            return {"params": state.teacher_params,
-                    "batch_stats": state.teacher_batch_stats}
+            # the teacher is served only once training crossed the
+            # sup_only_epoch boundary sync (contrastive.py:177-180); before
+            # that it is still its random init — evaluate the student
+            synced = getattr(state, "teacher_synced", None)
+            if synced is None or bool(np.asarray(synced)):
+                return {"params": state.teacher_params,
+                        "batch_stats": state.teacher_batch_stats}
+            return {"params": state.student.params,
+                    "batch_stats": state.student.batch_stats}
         return {"params": state.params, "batch_stats": state.batch_stats}
 
     # ------------------------------------------------------------------
@@ -679,7 +747,8 @@ class Runner:
         loader = self._loader(val_ds, cfg.data.batch_size_val)
         meter = MetricMeter(self.num_classes)
         for bi, batch in enumerate(loader):
-            if cfg.trainer.limit_val_batches and bi >= cfg.trainer.limit_val_batches:
+            if cfg.trainer.limit_val_batches is not None \
+                    and bi >= cfg.trainer.limit_val_batches:
                 break
             # past-warmup epoch: contrastive eval serves the teacher
             m = eval_fn(state, _jnp_batch(batch), cfg.trainer.max_epochs)
@@ -724,9 +793,11 @@ class Runner:
             path = self._list_path(list_name)
             if not os.path.exists(path):
                 continue
-            ds = self._dataset("test", list_name, "l", tf["test"])
             # reference test datasets use labeled split semantics
-            if not self.is_flow:
+            # (foundation.py:459-462 builds them with split='val')
+            if self.is_flow:
+                ds = self._dataset("test", list_name, "l", tf["test"])
+            else:
                 ds = SemDataset("val", cfg.data.data_root, path, tf["test"])
             # test loader sizing follows the reference's datamodule
             # (foundation.py:491-492 batch_size_test / workers_test); the
@@ -736,7 +807,8 @@ class Runner:
                                   workers=cfg.data.workers_test)
             meter = MetricMeter(self.num_classes)
             for bi, batch in enumerate(loader):
-                if cfg.trainer.limit_test_batches and bi >= cfg.trainer.limit_test_batches:
+                if cfg.trainer.limit_test_batches is not None \
+                        and bi >= cfg.trainer.limit_test_batches:
                     break
                 if self.is_flow and cfg.model.no_cropping:
                     m = eval_whole(_EvalState(variables["params"],
@@ -758,7 +830,6 @@ class Runner:
                             cfg.model.test_h, cfg.model.test_w,
                             scales=cfg.model.test_scales,
                             base_size=cfg.model.test_base_size)
-                    from floodseg_tpu.ops.metrics import intersection_and_union
                     i, u, t = intersection_and_union(
                         jnp.asarray(pred), jnp.asarray(label), self.num_classes,
                         cfg.model.ignore_index)
@@ -801,10 +872,41 @@ class Runner:
         variables = self._eval_variables(state)
         tf = self._transforms()
         ds = self._dataset("predict", "test.txt", "u", tf["predict"])
-        loader = self._loader(ds, 1)
         colors_path = os.path.join(cfg.data.data_root, "list", "colors.txt")
         colors = np.loadtxt(colors_path).astype("uint8") if os.path.exists(colors_path) else None
-        grid_shape = ds.default_grid.shape
+        if not cfg.model.no_cropping:
+            # The reference's DEFAULT predict is crop-based: predict_step
+            # routes through compute_output + compute_predict_crop unless
+            # no_cropping (flow/base.py:270-274). All crops of a window run
+            # as one device batch; grids renormalized per crop.
+            crop_fn = flow_mod.make_flow_predict_crop_fn(
+                self.model, n=cfg.data.frame_delta,
+                num_classes=self.num_classes,
+                feature_based=cfg.model.feature_based,
+                no_warp=cfg.model.no_warp, default_grid=ds.default_grid)
+            out_size = (cfg.data.resize_h, cfg.data.resize_w)
+            ch, cw = cfg.model.test_h, cfg.model.test_w
+            from floodseg_tpu.train.evaluate import flow_sliding_window_predict
+
+            def predict_fn(v, fp, fn_, ml, mr):
+                batch = {"frame_prev": fp, "frame_next": fn_,
+                         "mvs_left": ml, "mvs_right": mr}
+                return flow_sliding_window_predict(
+                    crop_fn, v, batch, self.num_classes, ch, cw, out_size)
+
+            summary = run_predict(
+                predict_fn, variables, self._loader(ds, 1), self.num_classes,
+                colors=colors,
+                save_images_dir=os.path.join(self.logger.log_dir, "frames",
+                                             cfg.data.predict_v_id)
+                if cfg.model.save_images else None,
+                video_path=os.path.join(self.logger.log_dir, "video",
+                                        f"{cfg.data.predict_v_id}.avi")
+                if cfg.model.save_video else None,
+                compute_metrics=cfg.model.compute_metrics,
+            )
+            self.logger.update_summary(summary)
+            return summary
         predict_fn = flow_mod.make_flow_predict_fn(
             self.model, n=cfg.data.frame_delta,
             feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
@@ -838,7 +940,8 @@ class Runner:
                 return jnp.concatenate(outs, axis=0)
 
             predict_fn = predict_dispatch
-            loader = self._loader(ds, self.num_devices)
+        loader = self._loader(
+            ds, self.num_devices if self.mesh is not None else 1)
         summary = run_predict(
             predict_fn, variables, loader, self.num_classes, colors=colors,
             save_images_dir=os.path.join(self.logger.log_dir, "frames",

@@ -69,6 +69,9 @@ class U2PLState(NamedTuple):
     teacher_params: Any
     teacher_batch_stats: Any
     bank: MemoryBank
+    # flips True at the sup_only_epoch boundary sync; eval serves the
+    # teacher only after (reference contrastive.py:177-180 forward())
+    teacher_synced: Any = None
 
 
 def create_u2pl_state(model, rng, sample_input, tx,
@@ -87,6 +90,7 @@ def create_u2pl_state(model, rng, sample_input, tx,
         teacher_batch_stats=teacher.get("batch_stats", {}),
         bank=create_memory_bank(num_classes, 256, bank_capacity,
                                 bank_class0_capacity),
+        teacher_synced=jnp.asarray(False),
     )
 
 
@@ -94,7 +98,7 @@ def sync_teacher(state: U2PLState) -> U2PLState:
     """Copy student params to the teacher (boundary epoch); buffers stay."""
     return state._replace(teacher_params=jax.tree.map(
         jnp.array, state.student.params
-    ))
+    ), teacher_synced=jnp.asarray(True))
 
 
 def _rank_of_class(prob: jnp.ndarray, c: int) -> jnp.ndarray:

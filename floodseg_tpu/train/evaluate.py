@@ -10,12 +10,13 @@ variable-shaped).
 """
 
 import math
-from functools import lru_cache
 from typing import Callable, Dict, List, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from floodseg_tpu.ops.resize import resize_bilinear
 
 try:
     import cv2
@@ -201,3 +202,64 @@ def flow_sliding_window_test(
         count[sh:sh + crop_h, sw:sw + crop_w] += 1
     canvas /= count
     return np.argmax(canvas, axis=-1)
+
+
+def flow_sliding_window_predict(
+    crop_fn: Callable,
+    variables,
+    batch: Dict,
+    num_classes: int,
+    crop_h: int,
+    crop_w: int,
+    out_size,
+    stride_rate: float = 2 / 3,
+) -> np.ndarray:
+    """Crop-based clip prediction — the reference's DEFAULT predict path
+    (flow/base.py:270-274: no_cropping=False routes predict_step through
+    compute_output + compute_predict_crop).
+
+    Every sliding-window crop runs the full n-frame interpolation chain with
+    crop-renormalized grids; softmax probabilities are averaged on the
+    overlap, resized to ``out_size`` (align_corners=True, flow/base.py:275)
+    and argmaxed. ``batch``: single-clip numpy batch like
+    ``flow_sliding_window_test``'s. Returns (n, out_h, out_w) int32 maps.
+    """
+    from floodseg_tpu.video.grid import crop_motion_vectors_stack_np
+
+    fp = np.asarray(batch["frame_prev"])[0]
+    fn = np.asarray(batch["frame_next"])[0]
+    h, w = fp.shape[:2]
+    ch, cw = min(crop_h, h), min(crop_w, w)
+    offs = crop_offsets(h, w, ch, cw, stride_rate)
+    ml_all = np.asarray(batch["mvs_left"])[:, 0]    # (T, bh, bw, 2)
+    mr_all = np.asarray(batch["mvs_right"])[:, 0]
+
+    fp_crops, fn_crops, ml_crops, mr_crops = [], [], [], []
+    for sh, sw in offs:
+        fp_crops.append(fp[sh:sh + ch, sw:sw + cw])
+        fn_crops.append(fn[sh:sh + ch, sw:sw + cw])
+        ml_crops.append(crop_motion_vectors_stack_np(
+            ml_all, h, w, ch, cw, sh, sw))
+        mr_crops.append(crop_motion_vectors_stack_np(
+            mr_all, h, w, ch, cw, sh, sw))
+
+    probs = np.asarray(crop_fn(
+        variables,
+        jnp.asarray(np.stack(fp_crops)),
+        jnp.asarray(np.stack(fn_crops)),
+        jnp.asarray(np.stack(ml_crops, axis=1)),   # (T, N, bh, bw, 2)
+        jnp.asarray(np.stack(mr_crops, axis=1)),
+    ), np.float32)                                  # (N, n, ch, cw, C)
+
+    n = probs.shape[1]
+    # f64 accumulation like the reference's prediction_crop (dtype=float);
+    # the final resize runs f32 on device
+    canvas = np.zeros((n, h, w, num_classes), dtype=np.float64)
+    count = np.zeros((1, h, w, 1), dtype=np.float64)
+    for (sh, sw), p in zip(offs, probs):
+        canvas[:, sh:sh + ch, sw:sw + cw] += p
+        count[:, sh:sh + ch, sw:sw + cw] += 1
+    canvas /= count
+    out = resize_bilinear(jnp.asarray(canvas, jnp.float32), tuple(out_size),
+                          align_corners=True)
+    return np.asarray(jnp.argmax(out, axis=-1).astype(jnp.int32))

@@ -184,6 +184,44 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
     return predict_fn
 
 
+def make_flow_predict_crop_fn(model, n: int, num_classes: int,
+                              feature_based: bool = True,
+                              no_warp: bool = False,
+                              default_grid: Optional[np.ndarray] = None) -> Callable:
+    """Batched crop predict for the default (no_cropping=False) predict path
+    (flow/base.py:182-210 compute_output + :226-234 compute_predict_crop):
+    the full n-frame interpolation chain runs on every sliding-window crop,
+    logits upsampled to crop size (align_corners=True) then softmaxed.
+
+    Returns fn(variables, fp_crops (N, ch, cw, 3), fn_crops, ml/mr
+    (T, N, bh, bw, 2)) -> (N, n, ch, cw, C) probabilities. The key frame is
+    resampled through the FULL-frame default grid exactly like the
+    reference, whose ``self.default_motion_vector`` is frame-global even on
+    crops (flow/model.py:154-159)."""
+    dg = None if default_grid is None else jnp.asarray(default_grid)
+
+    @jax.jit
+    def crop_fn(variables, fp_crops, fn_crops, ml, mr):
+        interp = FlowInterpolator(
+            encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
+            decode=lambda f: model.apply(variables, f, train=False, method="decode"),
+            feature_based=feature_based,
+            no_warp=no_warp,
+        )
+
+        def one(fp, fn_, l, r):
+            logits = interp.predict_clip(
+                fp[None], fn_[None], l[:, None], r[:, None], n,
+                default_grid=dg, out_size=fp.shape[0:2],
+            )
+            return jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1)[..., :num_classes]
+
+        return jax.vmap(one, in_axes=(0, 0, 1, 1))(fp_crops, fn_crops, ml, mr)
+
+    return crop_fn
+
+
 def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
                                 no_warp: bool = False,
                                 out_size: Tuple[int, int] = (1072, 1920),

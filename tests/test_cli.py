@@ -405,7 +405,11 @@ def test_predict_dp_matches_single_device(tmp_path, synth_root):
     path = _mini_config(tmp_path, synth_root, "flow_supervised")
     out = {}
     for nd in (1, 2):
+        # no_cropping pins the whole-frame predict program — the path that
+        # is clip-parallel under the mesh (the default crop-based predict
+        # follows the reference's single-device compute_output loop)
         cfg = load_config([path], {"trainer.num_devices": str(nd),
+                                   "model.no_cropping": "true",
                                    "trainer.run_name": f"pdp{nd}"})
         r = Runner(cfg)
         state, _, _ = r._build_states_and_steps(max_iter=1)
@@ -639,3 +643,150 @@ def test_u2pl_teacher_sync_only_at_boundary_epoch(tmp_path, synth_root,
     train_fn2(fake_state, None, None, 2)
     train_fn2(fake_state, None, None, 3)
     assert calls["sync"] == 0
+
+
+def test_gan_gt_loader_labeled_split_and_independent_shuffle(tmp_path,
+                                                             synth_root):
+    """The gan 'gt' loader serves the LABELED split (reference gan.py:270
+    builds it over dataset_train_l — labels of unlabeled-split images must
+    never reach the discriminator) and shuffles INDEPENDENTLY of the 'l'
+    loader (three separate shuffle=True DataLoaders in the reference);
+    a shared stream would make batch['gt'] == batch['l'] every step."""
+    import shutil
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    root2 = tmp_path / "nounlab_gt"
+    shutil.copytree(synth_root, root2)
+    os.remove(root2 / "list" / "all" / "train_u.txt")
+    path = _mini_config(tmp_path, str(root2), "gan")
+    cfg = load_config([path], {"data.data_ratio": "0.5",
+                               "trainer.run_name": "t_gtloader"})
+    runner = Runner(cfg)
+    tf = runner._transforms()
+    loaders, _ = runner._train_loaders(tf)
+    train_l, train_u = runner._train_datasets(tf["train"],
+                                              need_unlabeled=True)
+    assert sorted(map(tuple, loaders["gt"].dataset.items)) == \
+        sorted(map(tuple, train_l.items))
+    # no unlabeled-split item leaks into the gt loader
+    assert not (set(map(tuple, loaders["gt"].dataset.items))
+                & set(map(tuple, train_u.items)))
+    # independent shuffles: the first epoch's batches differ between
+    # roles that share the same underlying item list
+    bl = next(iter(loaders["l"]))
+    bg = next(iter(loaders["gt"]))
+    assert not np.array_equal(np.asarray(bl["label"]),
+                              np.asarray(bg["label"])) or \
+        not np.allclose(np.asarray(bl["frame_current"]),
+                        np.asarray(bg["frame_current"]))
+
+
+def test_fit_raises_on_too_small_train_set(tmp_path, synth_root):
+    """A train split smaller than the global batch must fail loudly — an
+    infinite drop_last loader over it would yield nothing and the fit
+    loop would block forever."""
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    cfg = load_config([path], {"data.batch_size": "4096",
+                               "trainer.run_name": "t_toosmall"})
+    runner = Runner(cfg)
+    with pytest.raises(ValueError, match="exceeds the train set"):
+        runner._train_loaders(runner._transforms())
+
+
+def test_data_ratio_one_without_unlabeled_raises(tmp_path, synth_root):
+    """data_ratio=1.0 with no train_u.txt leaves the unlabeled split empty;
+    silently reusing the full train list for BOTH splits would fake
+    semi-supervision (the old fallback did exactly that)."""
+    import shutil
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    root2 = tmp_path / "nounlab_r1"
+    shutil.copytree(synth_root, root2)
+    os.remove(root2 / "list" / "all" / "train_u.txt")
+    path = _mini_config(tmp_path, str(root2), "gan")
+    cfg = load_config([path], {"trainer.run_name": "t_ratio1"})
+    runner = Runner(cfg)
+    with pytest.raises(ValueError, match="data_ratio"):
+        runner._train_datasets(runner._transforms()["train"],
+                               need_unlabeled=True)
+
+
+@pytest.mark.slow
+def test_contrastive_eval_serves_student_before_boundary(tmp_path,
+                                                         synth_root):
+    """Before the sup_only_epoch boundary sync the teacher is still its
+    random init — _eval_variables must serve the STUDENT (reference
+    contrastive.py:177-180 forward()); after sync_teacher, the teacher."""
+    import jax
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+    from floodseg_tpu.train.contrastive import sync_teacher
+
+    path = _mini_config(tmp_path, synth_root, "contrastive")
+    cfg = load_config([path], {"trainer.run_name": "t_evalvars"})
+    runner = Runner(cfg)
+    state, _, _ = runner._build_states_and_steps(max_iter=1)
+    v = runner._eval_variables(state)
+    sp = jax.tree.leaves(state.student.params)[0]
+    assert np.array_equal(np.asarray(jax.tree.leaves(v["params"])[0]),
+                          np.asarray(sp))
+    state2 = sync_teacher(state)
+    v2 = runner._eval_variables(state2)
+    assert np.array_equal(np.asarray(jax.tree.leaves(v2["params"])[0]),
+                          np.asarray(sp))  # teacher just synced to student
+    assert bool(np.asarray(state2.teacher_synced))
+
+
+def test_early_stopping_state_survives_resume(tmp_path, synth_root,
+                                              monkeypatch):
+    """EarlyStopping best/wait state is persisted per epoch and restored on
+    resume (Lightning restores the callback from the checkpoint): the first
+    post-resume validation must NOT restart patience."""
+    import json as _json
+    import jax.numpy as jnp
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "supervised")
+    cfg = load_config([path], {"trainer.run_name": "t_esresume",
+                               "trainer.max_epochs": "3"})
+    runner = Runner(cfg)
+
+    def fake_build(max_iter):
+        state = {"w": jnp.zeros((2,))}
+        z = jnp.zeros((5,), jnp.int32)
+
+        def train_fn(s, b, r, e):
+            return s, {"loss": jnp.float32(0.0), "intersection": z,
+                       "union": z, "target": z}
+
+        def eval_fn(s, b, e):
+            o = jnp.ones((5,), jnp.int32)
+            return {"intersection": o, "union": o, "target": o}
+
+        return state, train_fn, eval_fn
+
+    monkeypatch.setattr(runner, "_build_states_and_steps", fake_build)
+    runner.fit()
+    es = _json.loads((tmp_path / "logs" / "t_esresume" /
+                      "early_stop.json").read_text())
+    # constant val mIoU: first epoch is the best, the rest wait
+    assert es["best_epoch"] == 0 and es["wait_count"] == 2
+
+    cfg2 = load_config([path], {"trainer.run_name": "t_esresume",
+                                "trainer.max_epochs": "5",
+                                "trainer.resume": "true",
+                                "trainer.early_stopping_patience": "4"})
+    runner2 = Runner(cfg2)
+    monkeypatch.setattr(runner2, "_build_states_and_steps", fake_build)
+    runner2.fit()
+    es2 = _json.loads((tmp_path / "logs" / "t_esresume" /
+                       "early_stop.json").read_text())
+    # resumed at epoch 3 with wait_count 2: epochs 3,4 wait too -> 4, and
+    # best_epoch stays 0 (a reset would report best_epoch 3, wait 1)
+    assert es2["best_epoch"] == 0 and es2["wait_count"] == 4

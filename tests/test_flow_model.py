@@ -280,3 +280,85 @@ def test_no_warp_predict_is_linear_blend():
     # frame 0 equals the plain single-frame path
     single = interp.predict_clip(fp, None, None, None, 1)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single[0]), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("feature_based", [True, False])
+def test_sliding_window_predict_matches_reference(feature_based):
+    """Crop-based predict — the reference's DEFAULT (no_cropping=False)
+    predict path. Our flow_sliding_window_predict must reproduce the
+    reference's compute_output + compute_predict_crop + final resize/argmax
+    (flow/base.py:182-210, 226-234, 270-277) with the imported torch
+    FlowModel and the reference's own crop_motion_vector as the oracle."""
+    from flow.model import FlowModel
+    from flow.transform import crop_motion_vector as ref_crop
+    import torch.nn.functional as F
+
+    from floodseg_tpu.train.evaluate import flow_sliding_window_predict
+
+    rng = np.random.default_rng(11)
+    tm, encode, decode = _make_pair()
+    ref = FlowModel(tm, feature_based=feature_based).eval()
+
+    n = 4
+    h, w, ch, cw = 64, 96, 48, 48
+    out_size = (80, 120)
+    fp = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+    fn_ = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+    gh, gw = 4, 6  # block 16 grids over the 64x96 frame
+    mvs_l = _grids(rng, n - 1, 1, gh, gw)
+    mvs_r = _grids(rng, n - 1, 1, gh, gw)
+
+    # --- torch oracle: the compute_output sliding loop, verbatim semantics
+    tfp = torch.from_numpy(fp.transpose(0, 3, 1, 2))
+    tfn = torch.from_numpy(fn_.transpose(0, 3, 1, 2))
+    tml = [torch.from_numpy(mvs_l[j]) for j in range(n - 1)]
+    tmr = [torch.from_numpy(mvs_r[j]) for j in range(n - 1)]
+    stride_h = int(np.ceil(ch * 2 / 3))
+    stride_w = int(np.ceil(cw * 2 / 3))
+    grid_h = int(np.ceil(float(h - ch) / stride_h) + 1)
+    grid_w = int(np.ceil(float(w - cw) / stride_w) + 1)
+    pred = torch.zeros((n, 5, h, w), dtype=torch.float64)
+    cnt = torch.zeros((h, w), dtype=torch.float64)
+    with torch.no_grad():
+        for ih in range(grid_h):
+            for iw in range(grid_w):
+                e_h = min(ih * stride_h + ch, h)
+                s_h = e_h - ch
+                e_w = min(iw * stride_w + cw, w)
+                s_w = e_w - cw
+                fpc = tfp[:, :, s_h:e_h, s_w:e_w].clone()
+                fnc = tfn[:, :, s_h:e_h, s_w:e_w].clone()
+                mlc, mrc = ref_crop([m.clone() for m in tml],
+                                    [m.clone() for m in tmr],
+                                    h, w, ch, cw, s_h, s_w)
+                out = ref.predict(fpc, fnc, mlc, mrc, n, _Profiler())["pred"]
+                out = F.softmax(out, dim=1)
+                cnt[s_h:e_h, s_w:e_w] += 1
+                pred[:, :, s_h:e_h, s_w:e_w] += out
+    pred /= cnt
+    ref_maps = (F.interpolate(pred, out_size, mode="bilinear",
+                              align_corners=True)
+                .max(1)[1].numpy())
+
+    # --- ours: batched crop fn (same body as make_flow_predict_crop_fn)
+    interp = FlowInterpolator(encode, decode, feature_based=feature_based)
+    dg = jnp.asarray(default_grid())
+
+    @jax.jit
+    def crop_fn(variables, fpc, fnc, ml, mr):
+        def one(a, b, l, r):
+            logits = interp.predict_clip(a[None], b[None], l[:, None],
+                                         r[:, None], n, default_grid=dg,
+                                         out_size=a.shape[0:2])
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        return jax.vmap(one, in_axes=(0, 0, 1, 1))(fpc, fnc, ml, mr)
+
+    batch = {"frame_prev": fp, "frame_next": fn_,
+             "mvs_left": mvs_l, "mvs_right": mvs_r}
+    maps = flow_sliding_window_predict(crop_fn, None, batch, 5, ch, cw,
+                                       out_size)
+    assert maps.shape == (n,) + out_size == ref_maps.shape
+    agree = float((maps == ref_maps).mean())
+    # f32 device math vs the torch f64 canvas can flip true near-ties only
+    assert agree > 0.999, agree
