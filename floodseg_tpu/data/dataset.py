@@ -175,7 +175,10 @@ class FlowDataset:
             delta_l = rng.integers(1, self.frame_delta)
         delta_l = int(delta_l)
         delta_r = self.frame_delta - delta_l
-        if self.no_random_frame_delta and self.split == "train":
+        if self.no_random_frame_delta and self.split not in ("val", "test"):
+            # the reference's non-val/test branch (flow/dataset.py:95-97)
+            # covers train AND predict: BOTH deltas become frame_delta//2
+            # (for odd frame_delta their sum is frame_delta-1 — a quirk)
             delta_r = self.frame_delta // 2
 
         sample: Dict = {}
@@ -258,7 +261,8 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
             per = [np.stack(v, axis=0) for v in vals]        # (T, gh, gw, 2)
             out[k] = np.stack(per, axis=1).astype(np.float32)  # (T, B, ...)
         elif k in ("left_index", "right_index", "frame_id",
-                   "prev_frame_id", "next_frame_id", "target"):
+                   "prev_frame_id", "next_frame_id", "target",
+                   "dataset_idx"):
             out[k] = np.asarray(vals, dtype=np.int32)
         elif k == "label":
             out[k] = np.stack(vals).astype(np.int32)
@@ -270,7 +274,9 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 class ConcatDataset:
     """Concatenation that also reports which sub-dataset an item came from
     (reference BetterConcatDataset, base/foundation.py:349-364 — used to
-    route test items to the per-video metric meters)."""
+    route test items to the per-video metric meters; the Runner's test()
+    reaches the same routing by iterating the per-video lists separately,
+    so this class is a utility, not on the production path)."""
 
     def __init__(self, datasets):
         self.datasets = list(datasets)

@@ -66,6 +66,12 @@ class DataLoader:
             yield idx[s:s + self.batch_size]
 
     def __iter__(self) -> Iterator:
+        # claim this iteration's epoch UP FRONT: incrementing at generator
+        # exit never runs when the consumer breaks early (GeneratorExit),
+        # which would replay the same shuffle + augmentation stream on the
+        # next pass
+        start_epoch = self.epoch
+        self.epoch += 1
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -86,7 +92,7 @@ class DataLoader:
         def producer():
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
             try:
-                epoch = self.epoch
+                epoch = start_epoch
                 while not stop.is_set():
                     for bidx in self._batches(epoch):
                         if stop.is_set():
@@ -124,5 +130,3 @@ class DataLoader:
                     out_q.get_nowait()
                 except queue.Empty:
                     break
-
-        self.epoch += 1

@@ -57,7 +57,10 @@ class SegHead(nn.Module):
         x = conv(self.mid, 3, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = batch_norm(train, self.dtype, self.axis_name, name="bn")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        # reference heads use nn.Dropout2d (pspnet.py:74,83,155): CHANNEL
+        # dropout — whole feature maps zeroed. NHWC ⇒ broadcast over H, W
+        x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
         return conv(self.out, 1, dtype=self.dtype, name="conv2")(x)
 
 

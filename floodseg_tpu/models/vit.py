@@ -324,6 +324,14 @@ class SegmenterViT(nn.Module):
         out = {"pred": masks}
         if train and self.with_rep:
             rep = self.rep_decoder(patch_tokens, (h, w), train)
+            # reference quirk (model/vit.py:80-87): VITRepModel reads "h, w"
+            # from the hooked TOKEN tensor (B, N+1, D), so the rep map is
+            # bilinearly resized to (num_tokens+1, d_model) BEFORE the
+            # wrapper's final resize to image size (wrapper.py:45-46).
+            # Bilinear is not transitive — the extra hop is numerically
+            # load-bearing for U2PL-ViT training.
+            rep = resize_bilinear(rep, (feats.shape[1], feats.shape[2]),
+                                  align_corners=True)
             rep = resize_bilinear(rep, (h_ori, w_ori), align_corners=True)
             out["rep"] = rep
         return out

@@ -17,13 +17,11 @@ VPU. A Pallas kernel variant can slot in behind the same signature later.
 import jax
 import jax.numpy as jnp
 
-# matmul formulation cutoff: (P, H*W) interpolation matrix size in f32 bytes
-_MATMUL_MAX_BYTES = 64 * 1024 * 1024
-
-
-def _tap_indices_weights(x_shape, grid, align_corners: bool):
-    """4 bilinear taps per output point: flat indices + weights (border)."""
-    b, h, w, c = x_shape
+def _tap_coords(x_shape, grid, align_corners: bool):
+    """Bilinear tap coordinates, torch convention with border clamping:
+    (x0, x1, y0, y1) int32 + fractional (wx, wy). Shared by the gather and
+    matmul formulations so the coordinate math cannot drift between them."""
+    _, h, w, _ = x_shape
     # coordinate math at >= f32 (f64 under x64: keeps the f64 parity
     # oracles exact; bf16 grids still promote to f32 as before)
     gxy = grid.astype(jnp.promote_types(grid.dtype, jnp.float32))
@@ -39,6 +37,13 @@ def _tap_indices_weights(x_shape, grid, align_corners: bool):
     x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
     y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    return x0, x1, y0, y1, wx, wy
+
+
+def _tap_indices_weights(x_shape, grid, align_corners: bool):
+    """4 bilinear taps per output point: flat indices + weights (border)."""
+    b, h, w, c = x_shape
+    x0, x1, y0, y1, wx, wy = _tap_coords(x_shape, grid, align_corners)
     p = grid.shape[1] * grid.shape[2]
     idx = jnp.stack([(y0 * w + x0).reshape(b, p), (y0 * w + x1).reshape(b, p),
                      (y1 * w + x0).reshape(b, p), (y1 * w + x1).reshape(b, p)],
@@ -97,23 +102,9 @@ def grid_sample(
     if impl == "matmul":
         return grid_sample_matmul(x, grid, align_corners)
 
-    gxy = grid.astype(jnp.promote_types(grid.dtype, jnp.float32))
-    if align_corners:
-        fx = (gxy[..., 0] + 1.0) * 0.5 * (w - 1)
-        fy = (gxy[..., 1] + 1.0) * 0.5 * (h - 1)
-    else:
-        fx = ((gxy[..., 0] + 1.0) * w - 1.0) * 0.5
-        fy = ((gxy[..., 1] + 1.0) * h - 1.0) * 0.5
-
-    x0f = jnp.floor(fx)
-    y0f = jnp.floor(fy)
-    wx = fx - x0f
-    wy = fy - y0f
-
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    # gather path keeps its LERP combination (top/bot), which is what the
+    # f64 backward oracles pinned; only the tap coordinates are shared
+    x0, x1, y0, y1, wx, wy = _tap_coords(x.shape, grid, align_corners)
 
     flat = x.reshape(b, h * w, c)
     p = gh * gw

@@ -33,9 +33,11 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size) -> jnp.ndarray:
     h_out, w_out = output_size
     b, h_in, w_in, c = x.shape
     dtype = x.dtype
-    mh = jnp.asarray(_adaptive_avg_matrix(h_in, h_out), dtype=jnp.float32)
-    mw = jnp.asarray(_adaptive_avg_matrix(w_in, w_out), dtype=jnp.float32)
-    y = x.astype(jnp.float32)
+    # promote (not hardcode f32): f64 oracle runs must stay exact
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    mh = jnp.asarray(_adaptive_avg_matrix(h_in, h_out), dtype=cdt)
+    mw = jnp.asarray(_adaptive_avg_matrix(w_in, w_out), dtype=cdt)
+    y = x.astype(cdt)
     y = jnp.einsum("oh,bhwc->bowc", mh, y, precision="highest")
     y = jnp.einsum("pw,bhwc->bhpc", mw, y, precision="highest")
     return y.astype(dtype)

@@ -126,16 +126,11 @@ from functools import lru_cache
 @lru_cache(maxsize=64)
 def _linear_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) bilinear interpolation matrix in cv2 INTER_LINEAR /
-    half-pixel convention: src = (dst + 0.5) * n_in/n_out - 0.5, clamped."""
-    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
-    x0 = np.floor(src).astype(np.int64)
-    w1 = (src - x0).astype(np.float32)
-    x0c = np.clip(x0, 0, n_in - 1)
-    x1c = np.clip(x0 + 1, 0, n_in - 1)
-    m = np.zeros((n_out, n_in), np.float32)
-    np.add.at(m, (np.arange(n_out), x0c), 1.0 - w1)
-    np.add.at(m, (np.arange(n_out), x1c), w1)
-    return m
+    half-pixel convention — ops.resize's matrix builder (align_corners=False
+    is the same src = (dst+0.5)*n_in/n_out - 0.5 formula), cached in f32 for
+    the hot per-crop renormalization path."""
+    from floodseg_tpu.ops.resize import _interp_matrix
+    return _interp_matrix(n_in, n_out, align_corners=False).astype(np.float32)
 
 
 def crop_motion_vectors_stack_np(

@@ -168,3 +168,44 @@ def test_torch_batch_norm_parity():
             rtol=1e-11, atol=1e-12)
     finally:
         jax.config.update("jax_enable_x64", old)
+
+
+def test_vit_rep_two_hop_resize_quirk():
+    """The ViT rep map must pass through the reference's ACCIDENTAL
+    intermediate resize to (num_tokens+1, d_model) before the final resize
+    to image size (model/vit.py:80-87 reads h, w off the hooked TOKEN
+    tensor; wrapper.py:45-46 then resizes to the image). Bilinear is not
+    transitive, so a direct one-hop resize is numerically different."""
+    import jax
+    import jax.numpy as jnp
+    from floodseg_tpu.models.vit import SegmenterViT
+    from floodseg_tpu.ops.resize import resize_bilinear
+
+    # 3x3 patch grid: a 2x2 rep map is an exact bilinear field and the
+    # two-hop collapses to the one-hop; 3x3 exposes the non-transitivity
+    model = SegmenterViT(classes=5, image_size=96, patch_size=32,
+                         d_model=64, n_layers=1, dec_layers=1,
+                         dropout=0.0, with_rep=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 96, 96, 3)),
+                    jnp.float32)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "dropout": k}, x, train=True)
+    out = model.apply(variables, x, train=True, rngs={"dropout": k})
+
+    def raw_rep(m, x):
+        xp = m._pad(x)
+        h, w = xp.shape[1], xp.shape[2]
+        f = m.encoder(xp, True)
+        return m.rep_decoder(f[:, 1:], (h, w), True), f.shape
+
+    rep0, fshape = model.apply(variables, x, method=raw_rep,
+                               rngs={"dropout": k})
+    n_tok, d = fshape[1], fshape[2]   # (9 patches + cls, d_model)
+    assert (n_tok, d) == (10, 64)
+    want = resize_bilinear(
+        resize_bilinear(rep0, (n_tok, d), align_corners=True),
+        (96, 96), align_corners=True)
+    np.testing.assert_allclose(np.asarray(out["rep"]), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    one_hop = resize_bilinear(rep0, (96, 96), align_corners=True)
+    assert np.abs(np.asarray(one_hop) - np.asarray(out["rep"])).max() > 1e-4
