@@ -93,7 +93,8 @@ class Runner:
         if self.is_flow:
             assert cfg.model.arch in FLOW_ARCHS, (
                 f"arch {cfg.model.arch!r} unsupported in the flow path "
-                f"(reference flow/base.py:94-103)"
+                f"(pspnet/deeplabv3 per reference flow/base.py:94-103; "
+                f"vit is a TPU extension)"
             )
         self.rng = jax.random.PRNGKey(cfg.trainer.seed)
         run_name = cfg.trainer.run_name or cfg.runid or uuid.uuid4().hex[:8]
@@ -192,6 +193,17 @@ class Runner:
                        int(resize[1] * d.resize_factor_test))
         predict_resize = (int(resize_val_test[0] * d.resize_factor_predict),
                           int(resize[1] * d.resize_factor_predict))
+        if d.arch == "vit":
+            # the vit flow extension needs patch-multiple frames so the token
+            # grid spans exactly the frame the MV grids are normalized to
+            # (SegmenterViT.encode asserts it); round every whole-frame size
+            # like round_train does for crops
+            _r32 = lambda hw: (max(32, hw[0] // 32 * 32),
+                               max(32, hw[1] // 32 * 32))
+            resize = _r32(resize)
+            resize_val_test = _r32(resize_val_test)
+            test_resize = _r32(test_resize)
+            predict_resize = _r32(predict_resize)
         return {
             "train": build_train_transform(
                 th, tw, d.data_classes_ignore, scale_min, scale_max, resize,

@@ -17,9 +17,13 @@ from floodseg_tpu.models.discriminator import S4GANDiscriminator
 
 ARCHS = ("pspnet", "deeplabv3", "vit")
 
-# archs supported by the flow (frame-interpolation) path; the reference
-# excludes vit there (flow/base.py:94-103)
-FLOW_ARCHS = ("pspnet", "deeplabv3")
+# archs supported by the flow (frame-interpolation) path. The reference
+# excludes vit there (flow/base.py:94-103 raises NotImplementedError); this
+# build EXTENDS the boundary deliberately (SURVEY §7) — SegmenterViT exposes
+# encode (spatial patch-token map) / decode (MaskTransformer over warped
+# tokens), so keyframe-warp interpolation composes with it like any other
+# encoder/decoder pair.
+FLOW_ARCHS = ("pspnet", "deeplabv3", "vit")
 
 
 def build_model(

@@ -312,6 +312,41 @@ class SegmenterViT(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         return x
 
+    def encode(self, x, train: bool = False):
+        """Spatial patch-token map — the flow-path encoder.
+
+        TPU EXTENSION beyond the reference's capability boundary: the
+        reference EXCLUDES vit from the frame-interpolation path
+        (flow/base.py:94-103 raises NotImplementedError). The explicit
+        encoder/decoder split makes keyframe-warp interpolation over token
+        maps natural, so the boundary is extended deliberately (SURVEY §7
+        "keep the same capability boundary or extend deliberately").
+
+        Requires patch-multiple inputs so the token grid spans exactly the
+        frame the MV grids are normalized to (padding would misalign the
+        [-1,1] warp coordinates); the Runner rounds vit flow sizes to
+        32-multiples like ``round_train``.
+        """
+        h, w = x.shape[1], x.shape[2]
+        ps = self.patch_size
+        assert h % ps == 0 and w % ps == 0, (
+            f"vit flow input must be a multiple of {ps}, got {(h, w)}"
+        )
+        feats = self.encoder(x, train)
+        gh, gw = h // ps, w // ps
+        f = feats[:, 1:].reshape(feats.shape[0], gh, gw, feats.shape[-1])
+        return f, None
+
+    def decode(self, f, train: bool = False):
+        """(B, gh, gw, D) token map -> (B, gh, gw, classes) mask logits at
+        token resolution (the flow path resizes to the output size, mirroring
+        how pspnet/deeplab decoders return stride-8 logits)."""
+        b, gh, gw, d = f.shape
+        tokens = f.reshape(b, gh * gw, d)
+        return self.decoder(
+            tokens, (gh * self.patch_size, gw * self.patch_size), train
+        )
+
     def __call__(self, x, train: bool = False):
         h_ori, w_ori = x.shape[1], x.shape[2]
         x = self._pad(x)

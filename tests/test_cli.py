@@ -790,3 +790,21 @@ def test_early_stopping_state_survives_resume(tmp_path, synth_root,
     # resumed at epoch 3 with wait_count 2: epochs 3,4 wait too -> 4, and
     # best_epoch stays 0 (a reset would report best_epoch 3, wait 1)
     assert es2["best_epoch"] == 0 and es2["wait_count"] == 4
+
+
+@pytest.mark.slow
+def test_fit_flow_vit_cli(tmp_path, synth_root):
+    """Flow (frame-interpolation) over the vit arch — a deliberate TPU
+    extension (the reference raises NotImplementedError for vit in the flow
+    path, flow/base.py:94-103): full fit + whole-clip predict through
+    SegmenterViT.encode/decode, with vit flow frame sizes rounded to patch
+    multiples by the Runner."""
+    path = _mini_config(tmp_path, synth_root, "flow_supervised")
+    assert _run(["fit", "--config", path, "--model.arch", "vit",
+                 "--model.optim.optim", "Adam", "--data.train_w", "64",
+                 "--trainer.run_name", "t_flow_vit"]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_flow_vit" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
+    assert "predict_miou1_epoch" in metrics
+    assert metrics["frames"] > 0

@@ -309,3 +309,69 @@ def test_flow_path_with_deeplabv3():
     out = pf(vs, batch["frame_prev"][:1], batch["frame_next"][:1],
              batch["mvs_left"][:, :1], batch["mvs_right"][:, :1])
     assert out.shape == (3, 32, 32)
+
+
+@pytest.mark.slow
+def test_flow_path_with_vit():
+    """TPU EXTENSION: vit in the flow path (the reference raises
+    NotImplementedError there, flow/base.py:94-103). SegmenterViT.encode
+    yields the spatial patch-token map and decode runs the MaskTransformer
+    over the warped/blended tokens, so the interpolator composes with it
+    like any other encoder/decoder pair."""
+    from floodseg_tpu.models import build_model, FLOW_ARCHS
+    from floodseg_tpu.video.grid import default_grid as make_default_grid
+
+    assert "vit" in FLOW_ARCHS
+    model = build_model("vit", classes=5, image_size=64)
+    tx = make_optimizer(base_lr=0.001, max_iter=10)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3)), tx=tx)
+
+    rng = np.random.default_rng(0)
+    t, gh, gw = 2, 4, 4
+    batch = {
+        "frame_prev": jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32),
+        "frame_next": jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32),
+        "mvs_left": jnp.asarray(rng.uniform(-1, 1, (t, 2, gh, gw, 2)), jnp.float32),
+        "mvs_right": jnp.asarray(rng.uniform(-1, 1, (t, 2, gh, gw, 2)), jnp.float32),
+        "left_index": jnp.ones((2,), jnp.int32),
+        "right_index": jnp.ones((2,), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 5, (2, 64, 64)), jnp.int32),
+    }
+    loss_fn = make_loss_fn("ce", aux_weight=0.0)
+    interp_step, _ = make_flow_train_step(model, loss_fn, num_classes=5)
+    state2, m = jax.jit(interp_step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # gradients actually reached the encoder
+    p0 = state.params["encoder"]["block0"]["attn"]["qkv"]["kernel"]
+    p1 = state2.params["encoder"]["block0"]["attn"]["qkv"]["kernel"]
+    assert np.abs(np.asarray(p0 - p1)).max() > 0
+
+    pf = make_flow_predict_fn(model, n=3, out_size=(64, 64),
+                              default_grid=make_default_grid(64, 64))
+    vs = {"params": state.params, "batch_stats": state.batch_stats}
+    out = pf(vs, batch["frame_prev"][:1], batch["frame_next"][:1],
+             batch["mvs_left"][:, :1], batch["mvs_right"][:, :1])
+    assert out.shape == (3, 64, 64)
+    assert set(np.unique(np.asarray(out))) <= set(range(5))
+
+
+def test_vit_encode_decode_composes_to_forward():
+    """decode(encode(x)) upsampled must reproduce __call__'s pred exactly:
+    pins the token-grid reshape ordering the flow extension relies on."""
+    from floodseg_tpu.models.vit import SegmenterViT
+    from floodseg_tpu.ops.resize import resize_bilinear
+
+    model = SegmenterViT(classes=5, image_size=96, patch_size=32, d_model=64,
+                         n_layers=2, dec_layers=1, dropout=0.0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 96, 96, 3)),
+                    jnp.float32)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k}, x, train=False)
+    want = model.apply(variables, x, train=False)["pred"]
+    f, _ = model.apply(variables, x, train=False, method="encode")
+    assert f.shape == (2, 3, 3, 64)
+    masks = model.apply(variables, f, train=False, method="decode")
+    got = resize_bilinear(masks, (96, 96), align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
