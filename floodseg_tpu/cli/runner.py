@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from floodseg_tpu.core.config import Config
+from floodseg_tpu.core.config import Config, round_train
 from floodseg_tpu.core.checkpoint import CheckpointManager
 from floodseg_tpu.core.logging import RunLogger
 from floodseg_tpu.data import (
@@ -194,16 +194,19 @@ class Runner:
         predict_resize = (int(resize_val_test[0] * d.resize_factor_predict),
                           int(resize[1] * d.resize_factor_predict))
         if d.arch == "vit":
-            # the vit flow extension needs patch-multiple frames so the token
-            # grid spans exactly the frame the MV grids are normalized to
-            # (SegmenterViT.encode asserts it); round every whole-frame size
-            # like round_train does for crops
-            _r32 = lambda hw: (max(32, hw[0] // 32 * 32),
-                               max(32, hw[1] // 32 * 32))
-            resize = _r32(resize)
-            resize_val_test = _r32(resize_val_test)
-            test_resize = _r32(test_resize)
-            predict_resize = _r32(predict_resize)
+            # the vit flow extension needs patch-multiple WHOLE frames so the
+            # token grid spans exactly the frame the MV grids are normalized
+            # to (SegmenterViT.encode asserts it). Only test/predict feed
+            # whole frames to encode: train always crops to (th, tw) and val
+            # crops (or, under no_cropping, resizes to (th, tw)) — both
+            # already patch-multiple via round_train. Rounding the train
+            # resize would BREAK the no_cropping scale_min invariant
+            # (flow/base.py:366-370 sizes resize so the smallest RandScale
+            # output still covers the crop).
+            _rv = lambda hw: (max(32, round_train(hw[0], "vit")),
+                              max(32, round_train(hw[1], "vit")))
+            test_resize = _rv(test_resize)
+            predict_resize = _rv(predict_resize)
         return {
             "train": build_train_transform(
                 th, tw, d.data_classes_ignore, scale_min, scale_max, resize,

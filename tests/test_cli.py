@@ -808,3 +808,41 @@ def test_fit_flow_vit_cli(tmp_path, synth_root):
     assert "test_miou1_epoch" in metrics
     assert "predict_miou1_epoch" in metrics
     assert metrics["frames"] > 0
+
+
+def test_flow_vit_sizing_preserves_no_cropping_invariant(tmp_path, synth_root):
+    """vit flow rounds only WHOLE-frame (test/predict) sizes to patch
+    multiples; the train resize must stay at the no_cropping formula
+    (int(th*1.5)+1) or RandScale's engineered scale_min (1/1.5+0.001) can
+    produce frames smaller than the crop, crashing Crop(crop_padding=None).
+    Applies the train transform at the adversarial minimum scale to prove
+    the invariant holds."""
+    import numpy as np
+    from floodseg_tpu.core.config import load_config
+    from floodseg_tpu.cli.runner import Runner
+
+    path = _mini_config(tmp_path, synth_root, "flow_supervised")
+    cfg = load_config([path], {"model.arch": "vit", "data.train_w": "96",
+                               "model.no_cropping": "true",
+                               "trainer.run_name": "t_fvs"})
+    runner = Runner(cfg)
+    tfs = runner._transforms()
+    th = cfg.data.train_h
+    assert th == 96
+    # the train pipeline survives many draws incl. min-scale frames
+    rng = np.random.default_rng(0)
+    sample = {
+        "frame_current": rng.integers(0, 255, (100, 140, 3)).astype(np.uint8),
+        "frame_prev": rng.integers(0, 255, (100, 140, 3)).astype(np.uint8),
+        "frame_next": rng.integers(0, 255, (100, 140, 3)).astype(np.uint8),
+        "mvs_left": [np.zeros((4, 5, 2), np.float32)],
+        "mvs_right": [np.zeros((4, 5, 2), np.float32)],
+        "label": rng.integers(0, 5, (100, 140)).astype(np.uint8),
+        "left_index": 1, "right_index": 1,
+    }
+    for i in range(30):
+        out = tfs["train"]({k: (v.copy() if isinstance(v, np.ndarray) else
+                                [g.copy() for g in v] if isinstance(v, list)
+                                else v) for k, v in sample.items()},
+                           np.random.default_rng(i))
+        assert out["frame_current"].shape[:2] == (th, th)
