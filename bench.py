@@ -41,6 +41,11 @@ def main():
                     help="also time a B-clips-per-program variant (vmapped "
                          "window program; amortizes dispatch + pads the "
                          "decoder batch)")
+    ap.add_argument("--arch", default="pspnet",
+                    choices=("pspnet", "deeplabv3", "vit"),
+                    help="flow backbone (default pspnet = the reference's "
+                         "headline config; vit is the TPU extension — the "
+                         "reference cannot run it in the flow path)")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +95,8 @@ def main():
     # frames travel to the device as raw resized pixels (float32 of uint8
     # range); mean/std normalization is fused into the compiled program —
     # the host->HBM link through the tunnel is the scarce resource
-    tf = build_test_transform(resize=(SIZE, SIZE), normalize=False)
+    size = SIZE if args.arch == "pspnet" else 512  # 8k+1 vs 32-multiple
+    tf = build_test_transform(resize=(size, size), normalize=False)
     ds = FlowDataset("predict", root, type="u", transform=tf,
                      frame_delta=FRAME_DELTA, predict_v_id="synth")
 
@@ -109,9 +115,9 @@ def main():
     loader = DataLoader(ds, batch_size=1, num_workers=8, prefetch=4,
                         device_put=device_put)
 
-    model = build_model("pspnet", classes=5, layers=50, with_aux=False,
-                        dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    model = build_model(args.arch, classes=5, layers=50, with_aux=False,
+                        image_size=size, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
     )()
@@ -121,7 +127,7 @@ def main():
     from floodseg_tpu.train.flow import make_cached_flow_predict_fn
     base_full, base_cached = make_cached_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
-        out_size=(SIZE, SIZE), default_grid=default_grid(bh * 16, bw * 16),
+        out_size=(size, size), default_grid=default_grid(bh * 16, bw * 16),
     )
     from floodseg_tpu.data.transforms import MEAN, STD
     mean = jnp.asarray(MEAN, jnp.float32)
@@ -249,6 +255,8 @@ def main():
         log(f"multiclip B={B}: {fr} frames in {dt_m:.3f}s -> "
             f"{extras['multiclip_fps']} frames/s (no key-feature reuse)")
 
+    if args.arch != "pspnet":
+        extras["arch"] = args.arch
     print(json.dumps({
         "metric": "segmented_frames_per_sec_per_chip_512px_keyframe_interp",
         "value": round(fps, 2),
