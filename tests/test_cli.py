@@ -846,3 +846,19 @@ def test_flow_vit_sizing_preserves_no_cropping_invariant(tmp_path, synth_root):
                                 else v) for k, v in sample.items()},
                            np.random.default_rng(i))
         assert out["frame_current"].shape[:2] == (th, th)
+
+
+@pytest.mark.slow
+def test_fit_flow_gan_vit_cli(tmp_path, synth_root):
+    """s4GAN + frame interpolation over vit (TPU extension x TPU extension:
+    the reference supports neither vit in flow nor, a fortiori, flow_gan
+    over it): the 4-phase adversarial step drives SegmenterViT.encode/
+    decode through the interpolator with the discriminator on the blended
+    prediction."""
+    path = _mini_config(tmp_path, synth_root, "flow_gan")
+    assert _run(["fit", "--config", path, "--model.arch", "vit",
+                 "--model.optim.optim", "Adam", "--data.train_w", "64",
+                 "--trainer.run_name", "t_flow_gan_vit"]) == 0
+    metrics = json.loads(
+        (tmp_path / "logs" / "t_flow_gan_vit" / "metrics.json").read_text())
+    assert "test_miou1_epoch" in metrics
