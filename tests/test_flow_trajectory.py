@@ -94,7 +94,7 @@ def _plain_state_dict(flow_psp):
     return sd
 
 
-def _run_torch(batches, eval_batch):
+def _run_torch(batches, eval_batch, feature_based):
     """The reference flow_supervised recipe, verbatim semantics."""
     shim_skimage()
     from model.pspnet import FlowPSPNet               # noqa: E402
@@ -107,7 +107,7 @@ def _run_torch(batches, eval_batch):
     for m in inner.modules():
         if isinstance(m, torch.nn.Dropout2d):
             m.p = 0.0
-    net = FlowModel(inner, feature_based=True, no_warp=False,
+    net = FlowModel(inner, feature_based=feature_based, no_warp=False,
                     no_interpolation_percentage=0.0).double()
     # the reference warp() downcasts grids to f32 (torch then rejects the
     # double-input/float-grid mix); our grids are already f32-quantized, so
@@ -173,12 +173,16 @@ def _jnp_batch(b):
 
 
 @pytest.mark.slow
-def test_flow_train_trajectory_matches_torch_reference(x64):
+@pytest.mark.parametrize("feature_based", [True, False])
+def test_flow_train_trajectory_matches_torch_reference(x64, feature_based):
+    """feature_based=True warps features then decodes; False decodes the
+    key frames then warps LOGITS (flow/model.py:73-88) — different gradient
+    paths through the chains, both pinned."""
     rng = np.random.default_rng(11)
     batches = _batches(rng)
     eval_batch = _batches(rng)[0]
     init_sd, ref_losses, step1_sd, final_sd, ref_eval = _run_torch(
-        batches, eval_batch)
+        batches, eval_batch, feature_based)
 
     model = PSPNet(classes=CLASSES, layers=50, dropout=0.0, with_aux=False,
                    dtype=jnp.float64)
@@ -201,7 +205,8 @@ def test_flow_train_trajectory_matches_torch_reference(x64):
     loss_fn = make_loss_fn("ohem", aux_weight=0.0, ignore_index=255,
                            ohem_thresh=OHEM_THRESH,
                            ohem_min_kept=OHEM_MIN_KEPT)
-    interp_step, _ = make_flow_train_step(model, loss_fn, CLASSES, 255)
+    interp_step, _ = make_flow_train_step(model, loss_fn, CLASSES, 255,
+                                      feature_based=feature_based)
     step = jax.jit(interp_step)
 
     our_losses = []
@@ -238,6 +243,7 @@ def test_flow_train_trajectory_matches_torch_reference(x64):
     # from both encoder passes of every step)
     our_eval, _ = flow_train_forward(
         model, states[-1].params, states[-1].batch_stats,
-        _jnp_batch(eval_batch), rng=None, train=False)
+        _jnp_batch(eval_batch), rng=None, train=False,
+        feature_based=feature_based)
     np.testing.assert_allclose(np.asarray(our_eval),
                                ref_eval.transpose(0, 2, 3, 1), atol=5e-2)
