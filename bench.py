@@ -41,6 +41,9 @@ def main():
                     help="also time a B-clips-per-program variant (vmapped "
                          "window program; amortizes dispatch + pads the "
                          "decoder batch)")
+    ap.add_argument("--int8", action="store_true",
+                    help="decoder 3x3 conv in int8 on the MXU (BN folded, "
+                         "dynamic activation scale; pspnet only)")
     ap.add_argument("--arch", default="pspnet",
                     choices=("pspnet", "deeplabv3", "vit"),
                     help="flow backbone (default pspnet = the reference's "
@@ -128,6 +131,7 @@ def main():
     base_full, base_cached = make_cached_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
         out_size=(size, size), default_grid=default_grid(bh * 16, bw * 16),
+        int8_decode=args.int8,
     )
     from floodseg_tpu.data.transforms import MEAN, STD
     mean = jnp.asarray(MEAN, jnp.float32)
@@ -263,6 +267,8 @@ def main():
 
     if args.arch != "pspnet":
         extras["arch"] = args.arch
+    if args.int8:
+        extras["int8_decode"] = True
     print(json.dumps({
         "metric": "segmented_frames_per_sec_per_chip_512px_keyframe_interp",
         "value": round(fps, 2),

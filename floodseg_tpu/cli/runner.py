@@ -898,7 +898,8 @@ class Runner:
                 self.model, n=cfg.data.frame_delta,
                 num_classes=self.num_classes,
                 feature_based=cfg.model.feature_based,
-                no_warp=cfg.model.no_warp, default_grid=ds.default_grid)
+                no_warp=cfg.model.no_warp, default_grid=ds.default_grid,
+                int8_decode=cfg.model.int8_decode)
             out_size = (cfg.data.resize_h, cfg.data.resize_w)
             ch, cw = cfg.model.test_h, cfg.model.test_w
             from floodseg_tpu.train.evaluate import flow_sliding_window_predict
@@ -926,7 +927,8 @@ class Runner:
             self.model, n=cfg.data.frame_delta,
             feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
             out_size=(cfg.data.resize_h, cfg.data.resize_w),
-            default_grid=ds.default_grid)
+            default_grid=ds.default_grid,
+            int8_decode=cfg.model.int8_decode)
         cached_fns = None
         if self.mesh is None:
             # sequential single-chip video: reuse each window's next-key
@@ -936,7 +938,8 @@ class Runner:
                 feature_based=cfg.model.feature_based,
                 no_warp=cfg.model.no_warp,
                 out_size=(cfg.data.resize_h, cfg.data.resize_w),
-                default_grid=ds.default_grid)
+                default_grid=ds.default_grid,
+                int8_decode=cfg.model.int8_decode)
         if self.mesh is not None:
             # clip-parallel inference: one key-frame window per chip
             # (shard_map over ICI; the reference predicts on a single GPU)

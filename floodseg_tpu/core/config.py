@@ -86,6 +86,10 @@ class ModelConfig:
     no_warp: bool = False
     no_cropping: bool = False
     no_interpolation_percentage: float = 0.0
+    # TPU-only predict acceleration: run the decoder's 3x3 conv in int8 on
+    # the MXU (BN folded, dynamic per-tensor activation scale; ops/quant.py).
+    # No reference equivalent; off by default — checkpoints are unaffected.
+    int8_decode: bool = False
     predict_v_id: str = "florida-01"
     save_images: bool = False
     save_video: bool = True

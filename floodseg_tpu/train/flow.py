@@ -153,10 +153,25 @@ def make_flow_eval_step(model, num_classes: int, ignore_index: int = 255,
     return eval_step
 
 
+def _predict_decode(model, variables, int8_decode: bool):
+    """Decode closure for the predict programs: the model's decode method,
+    or (opt-in) the int8-quantized SegHead path — the decoder conv is the
+    predict program's hot spot and the v5e MXU runs int8 at 2x bf16
+    (ops/quant.py; measured 30.5 -> 19.2 ms on the bench decoder shape)."""
+    if not int8_decode:
+        return lambda f: model.apply(variables, f, train=False, method="decode")
+    from ..ops import quant
+    dtype = getattr(model, "dtype", jnp.bfloat16)
+    return lambda f: quant.int8_seghead_decode(
+        variables["params"]["cls"], variables["batch_stats"]["cls"], f,
+        dtype=dtype)
+
+
 def make_flow_predict_fn(model, n: int, feature_based: bool = True,
                          no_warp: bool = False,
                          out_size: Tuple[int, int] = (1072, 1920),
-                         default_grid: Optional[np.ndarray] = None) -> Callable:
+                         default_grid: Optional[np.ndarray] = None,
+                         int8_decode: bool = False) -> Callable:
     """One jitted program for a whole key-frame window.
 
     Returns fn(variables, frame_prev, frame_next, mvs_left, mvs_right) ->
@@ -171,7 +186,7 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
     def predict_fn(variables, frame_prev, frame_next, mvs_left, mvs_right):
         interp = FlowInterpolator(
             encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
-            decode=lambda f: model.apply(variables, f, train=False, method="decode"),
+            decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
         )
@@ -187,7 +202,8 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
 def make_flow_predict_crop_fn(model, n: int, num_classes: int,
                               feature_based: bool = True,
                               no_warp: bool = False,
-                              default_grid: Optional[np.ndarray] = None) -> Callable:
+                              default_grid: Optional[np.ndarray] = None,
+                              int8_decode: bool = False) -> Callable:
     """Batched crop predict for the default (no_cropping=False) predict path
     (flow/base.py:182-210 compute_output + :226-234 compute_predict_crop):
     the full n-frame interpolation chain runs on every sliding-window crop,
@@ -204,7 +220,7 @@ def make_flow_predict_crop_fn(model, n: int, num_classes: int,
     def crop_fn(variables, fp_crops, fn_crops, ml, mr):
         interp = FlowInterpolator(
             encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
-            decode=lambda f: model.apply(variables, f, train=False, method="decode"),
+            decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
         )
@@ -225,7 +241,8 @@ def make_flow_predict_crop_fn(model, n: int, num_classes: int,
 def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
                                 no_warp: bool = False,
                                 out_size: Tuple[int, int] = (1072, 1920),
-                                default_grid: Optional[np.ndarray] = None):
+                                default_grid: Optional[np.ndarray] = None,
+                                int8_decode: bool = False):
     """(full_fn, cached_fn) for sequential-video prediction with key-feature
     reuse: consecutive windows share a key frame, so the previous window's
     encoded next key replaces one of the two encoder passes — numerically
@@ -239,7 +256,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
     def _interp(variables):
         return FlowInterpolator(
             encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
-            decode=lambda f: model.apply(variables, f, train=False, method="decode"),
+            decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
         )
