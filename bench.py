@@ -42,8 +42,13 @@ def main():
                          "window program; amortizes dispatch + pads the "
                          "decoder batch)")
     ap.add_argument("--int8", action="store_true",
-                    help="decoder 3x3 conv in int8 on the MXU (BN folded, "
-                         "dynamic activation scale; pspnet only)")
+                    help="force the decoder 3x3 conv into int8 on the MXU "
+                         "(BN folded, dynamic activation scale; pspnet "
+                         "only). Default: AUTO — on for pspnet (the product "
+                         "default, validated against a trained model in "
+                         "tests/test_quant.py), off for other archs")
+    ap.add_argument("--no-int8", action="store_true",
+                    help="force the full-precision (bf16) decoder")
     ap.add_argument("--arch", default="pspnet",
                     choices=("pspnet", "deeplabv3", "vit"),
                     help="flow backbone (default pspnet = the reference's "
@@ -126,12 +131,21 @@ def main():
     )()
     variables = jax.device_put(variables)
 
+    # int8 decoder resolution mirrors the product default
+    # (Runner._int8_decode): AUTO = on for the pspnet SegHead when the
+    # backend has the 2x int8 MXU rate, unless forced either way
+    if args.int8 and args.no_int8:
+        raise SystemExit("--int8 and --no-int8 are mutually exclusive")
+    use_int8 = args.int8 or (not args.no_int8 and args.arch == "pspnet"
+                             and jax.default_backend() in ("tpu", "axon"))
+    log(f"int8 decode: {use_int8}")
+
     bh, bw = 512 // 16, 512 // 16
     from floodseg_tpu.train.flow import make_cached_flow_predict_fn
     base_full, base_cached = make_cached_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
         out_size=(size, size), default_grid=default_grid(bh * 16, bw * 16),
-        int8_decode=args.int8,
+        int8_decode=use_int8,
     )
     from floodseg_tpu.data.transforms import MEAN, STD
     mean = jnp.asarray(MEAN, jnp.float32)
@@ -267,8 +281,7 @@ def main():
 
     if args.arch != "pspnet":
         extras["arch"] = args.arch
-    if args.int8:
-        extras["int8_decode"] = True
+    extras["int8_decode"] = bool(use_int8)
     print(json.dumps({
         "metric": "segmented_frames_per_sec_per_chip_512px_keyframe_interp",
         "value": round(fps, 2),

@@ -727,6 +727,19 @@ class Runner:
         self._state = state
         return state
 
+    def _int8_decode(self) -> bool:
+        """Resolve model.int8_decode (None = auto: pspnet decoder on an
+        int8-MXU backend). Validated end-to-end on a trained model in
+        tests/test_quant.py; forced True errors loudly on non-SegHead
+        decoders inside ops/quant.py."""
+        v = self.cfg.model.int8_decode
+        if v is not None:
+            return bool(v)
+        if self.cfg.model.arch != "pspnet":
+            return False
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+
     def _eval_variables(self, state):
         if self.cfg.method in ("gan", "flow_gan"):
             st = state[0]
@@ -899,7 +912,7 @@ class Runner:
                 num_classes=self.num_classes,
                 feature_based=cfg.model.feature_based,
                 no_warp=cfg.model.no_warp, default_grid=ds.default_grid,
-                int8_decode=cfg.model.int8_decode)
+                int8_decode=self._int8_decode())
             out_size = (cfg.data.resize_h, cfg.data.resize_w)
             ch, cw = cfg.model.test_h, cfg.model.test_w
             from floodseg_tpu.train.evaluate import flow_sliding_window_predict
@@ -928,7 +941,7 @@ class Runner:
             feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
             out_size=(cfg.data.resize_h, cfg.data.resize_w),
             default_grid=ds.default_grid,
-            int8_decode=cfg.model.int8_decode)
+            int8_decode=self._int8_decode())
         cached_fns = None
         if self.mesh is None:
             # sequential single-chip video: reuse each window's next-key
@@ -939,7 +952,7 @@ class Runner:
                 no_warp=cfg.model.no_warp,
                 out_size=(cfg.data.resize_h, cfg.data.resize_w),
                 default_grid=ds.default_grid,
-                int8_decode=cfg.model.int8_decode)
+                int8_decode=self._int8_decode())
         if self.mesh is not None:
             # clip-parallel inference: one key-frame window per chip
             # (shard_map over ICI; the reference predicts on a single GPU)

@@ -86,10 +86,14 @@ class ModelConfig:
     no_warp: bool = False
     no_cropping: bool = False
     no_interpolation_percentage: float = 0.0
-    # TPU-only predict acceleration: run the decoder's 3x3 conv in int8 on
-    # the MXU (BN folded, dynamic per-tensor activation scale; ops/quant.py).
-    # No reference equivalent; off by default — checkpoints are unaffected.
-    int8_decode: bool = False
+    # TPU predict acceleration: run the decoder's 3x3 conv in int8 on the
+    # MXU (BN folded, dynamic per-tensor activation scale; ops/quant.py).
+    # No reference equivalent; checkpoints are unaffected. None = auto:
+    # enabled for the pspnet flow predict when the backend has the 2x int8
+    # MXU path (tpu/axon), off elsewhere (CPU int8 convs are slower, and
+    # only the SegHead decoder is supported). True forces it (loud error on
+    # unsupported heads); False forces full-precision decode.
+    int8_decode: Optional[bool] = None
     predict_v_id: str = "florida-01"
     save_images: bool = False
     save_video: bool = True

@@ -74,6 +74,99 @@ def test_int8_decode_rejects_non_seghead(pspnet_vars):
                                   variables["batch_stats"]["cls"], f)
 
 
+@pytest.fixture(scope="module")
+def trained_pspnet_head():
+    """A PSPNet-50 whose cls head — the exact component int8_decode
+    replaces — is TRAINED to convergence on real encoder features: real
+    Adam trajectory, real BN running stats, peaked logits (random-init
+    near-uniform logits are the worst case for argmax stability; a trained
+    head is the regime the int8 auto-default ships in)."""
+    import optax
+
+    model = build_model("pspnet", classes=4, layers=50, with_aux=False)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 33, 33, 3)), train=False)
+    palette = jnp.asarray([[2.0, -1.0, -1.0], [-1.0, 2.0, -1.0],
+                           [-1.0, -1.0, 2.0], [1.0, 1.0, 1.0]])
+
+    # labels live at the encoder's output resolution (stride 8: 33 -> 5);
+    # images are the block-upsampled palette + noise -> a color-to-class
+    # task the head can solve from whatever features the frozen random
+    # backbone produces
+    def make_batch(i):
+        key = jax.random.fold_in(jax.random.PRNGKey(5), i)
+        lab = jax.random.randint(key, (4, 5, 5), 0, 4)
+        img = jnp.repeat(jnp.repeat(palette[lab], 7, axis=1),
+                         7, axis=2)[:, :33, :33]
+        img = img + 0.2 * jax.random.normal(jax.random.fold_in(key, 1),
+                                            img.shape)
+        return img, lab.astype(jnp.int32)
+
+    encode = jax.jit(lambda img: model.apply(variables, img, train=False,
+                                             method="encode")[0])
+    data = [(encode(img), lab)
+            for img, lab in (make_batch(i) for i in range(8))]
+
+    params, stats = dict(variables["params"]), variables["batch_stats"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params["cls"])
+
+    def loss_of(p_cls, stats_cls, f, lab, key):
+        v = {"params": {**params, "cls": p_cls},
+             "batch_stats": {**stats, "cls": stats_cls}}
+        out, mut = model.apply(v, f, train=True, method="decode",
+                               mutable=["batch_stats"],
+                               rngs={"dropout": key})
+        logp = jax.nn.log_softmax(out, axis=-1)
+        nll = -jnp.take_along_axis(logp, lab[..., None], axis=-1).mean()
+        return nll, mut["batch_stats"]["cls"]
+
+    @jax.jit
+    def step(p_cls, stats_cls, opt_state, f, lab, key):
+        (loss, new_stats), g = jax.value_and_grad(
+            loss_of, has_aux=True)(p_cls, stats_cls, f, lab, key)
+        upd, opt_state = tx.update(g, opt_state, p_cls)
+        return optax.apply_updates(p_cls, upd), new_stats, opt_state, loss
+
+    p_cls, stats_cls = params["cls"], stats["cls"]
+    loss = None
+    for i in range(280):
+        f, lab = data[i % len(data)]
+        p_cls, stats_cls, opt_state, loss = step(
+            p_cls, stats_cls, opt_state, f, lab,
+            jax.random.fold_in(jax.random.PRNGKey(9), i))
+    trained = {"params": {**params, "cls": p_cls},
+               "batch_stats": {**stats, "cls": stats_cls}}
+    return model, trained, make_batch, float(loss)
+
+
+@pytest.mark.slow
+def test_int8_decode_on_trained_model(trained_pspnet_head):
+    """End-to-end int8 validation on a TRAINED head (the auto-default's
+    shipping regime): the int8 decode of real encoder features must
+    reproduce the f32 class maps essentially everywhere, and the task
+    stays solved through the quantized head."""
+    model, variables, make_batch, loss = trained_pspnet_head
+    # calibrated: the deterministic fit reaches ~0.04 train loss by step
+    # 280 (~0.007 by 400), ~0.81 held-out acc (the head memorizes its 8
+    # batches; held-out generalizes through frozen random features)
+    assert loss < 0.1, f"head fit did not learn (loss {loss})"
+    img, lab = make_batch(100)  # held-out batch
+    feats = model.apply(variables, img, train=False, method="encode")[0]
+    want = np.asarray(model.apply(variables, feats, train=False,
+                                  method="decode"), np.float32)
+    got = np.asarray(quant.int8_seghead_decode(
+        variables["params"]["cls"], variables["batch_stats"]["cls"], feats,
+        dtype=jnp.float32), np.float32)
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.995, agree
+    # and the trained model actually solved the task through the int8 head
+    acc = (got.argmax(-1) == np.asarray(lab)).mean()
+    acc_f32 = (want.argmax(-1) == np.asarray(lab)).mean()
+    assert acc_f32 > 0.75, acc_f32
+    assert acc >= acc_f32 - 0.01, (acc, acc_f32)
+
+
 def test_predict_fn_int8_runs(pspnet_vars):
     """The fused predict program compiles and runs with int8_decode, and its
     class maps match the bf16-decode program almost everywhere."""
@@ -97,3 +190,24 @@ def test_predict_fn_int8_runs(pspnet_vars):
     out_q = np.asarray(q(variables, fp, fn_, ident, ident))
     assert out_q.shape == out_b.shape
     assert (out_q == out_b).mean() > 0.97, (out_q == out_b).mean()
+
+
+def test_runner_int8_auto_resolution():
+    """Runner._int8_decode: None = auto (pspnet + int8-MXU backend only),
+    explicit True/False always win."""
+    from types import SimpleNamespace
+    from floodseg_tpu.cli.runner import Runner
+
+    def resolve(int8_decode, arch):
+        r = Runner.__new__(Runner)
+        r.cfg = SimpleNamespace(model=SimpleNamespace(
+            int8_decode=int8_decode, arch=arch))
+        return r._int8_decode()
+
+    on_mxu = jax.default_backend() in ("tpu", "axon")
+    assert resolve(True, "pspnet") is True
+    assert resolve(True, "vit") is True       # forced: quant errors loudly
+    assert resolve(False, "pspnet") is False
+    assert resolve(None, "vit") is False      # auto never quantizes non-SegHead
+    assert resolve(None, "deeplabv3") is False
+    assert resolve(None, "pspnet") is on_mxu  # auto = backend-gated
