@@ -42,11 +42,12 @@ def main():
                          "window program; amortizes dispatch + pads the "
                          "decoder batch)")
     ap.add_argument("--int8", action="store_true",
-                    help="force the decoder 3x3 conv into int8 on the MXU "
-                         "(BN folded, dynamic activation scale; pspnet "
-                         "only). Default: AUTO — on for pspnet (the product "
-                         "default, validated against a trained model in "
-                         "tests/test_quant.py), off for other archs")
+                    help="force the decoder convs into int8 on the MXU "
+                         "(BN folded, dynamic activation scales; pspnet "
+                         "SegHead / deeplabv3 DeepLabHead). Default: AUTO "
+                         "— on for those archs (the product default, "
+                         "validated in tests/test_quant.py incl. against a "
+                         "trained head), off for vit")
     ap.add_argument("--no-int8", action="store_true",
                     help="force the full-precision (bf16) decoder")
     ap.add_argument("--arch", default="pspnet",
@@ -109,15 +110,17 @@ def main():
                      frame_delta=FRAME_DELTA, predict_v_id="synth")
 
     def device_put(batch):
-        out = {}
-        for k, v in batch.items():
-            if k.endswith("frame_id"):
-                out[k] = v  # host-side: read per clip for the continuity
-                continue    # check — a device round-trip here would cost
-                            # 2 tunnel RTTs inside the timed loop
-            if k.startswith("frame"):
-                v = v.astype(np.uint8)  # 4x fewer bytes on the wire
-            out[k] = jax.device_put(v)
+        # pack the four per-clip arrays into TWO transfers (frames uint8,
+        # grids f32) — each device_put is a tunnel round-trip, and at these
+        # sizes (~1.6 MB frames, ~0.4 MB grids) latency, not bandwidth, is
+        # what the streaming loop pays
+        out = {k: v for k, v in batch.items() if k.endswith("frame_id")}
+        # (frame ids stay host-side: reading them back from the device for
+        # the continuity check would cost 2 RTTs inside the timed loop)
+        frames = np.stack([batch["frame_prev"], batch["frame_next"]])
+        out["frames"] = jax.device_put(frames.astype(np.uint8))
+        out["mvs"] = jax.device_put(
+            np.stack([batch["mvs_left"], batch["mvs_right"]]))
         return out
 
     loader = DataLoader(ds, batch_size=1, num_workers=8, prefetch=4,
@@ -136,7 +139,8 @@ def main():
     # backend has the 2x int8 MXU rate, unless forced either way
     if args.int8 and args.no_int8:
         raise SystemExit("--int8 and --no-int8 are mutually exclusive")
-    use_int8 = args.int8 or (not args.no_int8 and args.arch == "pspnet"
+    use_int8 = args.int8 or (not args.no_int8
+                             and args.arch in ("pspnet", "deeplabv3")
                              and jax.default_backend() in ("tpu", "axon"))
     log(f"int8 decode: {use_int8}")
 
@@ -155,12 +159,13 @@ def main():
         return (x.astype(jnp.float32) - mean) / std
 
     @jax.jit
-    def full_fn(variables, fp, fn_, ml, mr):
-        return base_full(variables, norm(fp), norm(fn_), ml, mr)
+    def full_fn(variables, frames, mvs):
+        return base_full(variables, norm(frames[0]), norm(frames[1]),
+                         mvs[0], mvs[1])
 
     @jax.jit
-    def cached_fn(variables, feat, fn_, ml, mr):
-        return base_cached(variables, feat, norm(fn_), ml, mr)
+    def cached_fn(variables, feat, frames, mvs):
+        return base_cached(variables, feat, norm(frames[1]), mvs[0], mvs[1])
 
     batches = list(loader)
     log(f"{len(batches)} clips of {FRAME_DELTA} frames")
@@ -174,13 +179,10 @@ def main():
         # full encode for that window, exactly like run_predict does
         pfid = int(np.asarray(batch["prev_frame_id"])[0])
         if first or state["feat"] is None or pfid != state["next_id"]:
-            out, feat = full_fn(variables, batch["frame_prev"],
-                                batch["frame_next"], batch["mvs_left"],
-                                batch["mvs_right"])
+            out, feat = full_fn(variables, batch["frames"], batch["mvs"])
         else:
             out, feat = cached_fn(variables, state["feat"],
-                                  batch["frame_next"], batch["mvs_left"],
-                                  batch["mvs_right"])
+                                  batch["frames"], batch["mvs"])
         state["feat"] = feat
         state["next_id"] = int(np.asarray(batch["next_frame_id"])[0])
         return out
@@ -255,17 +257,18 @@ def main():
         # leading clip axis — the encoder/decoder convs then run at batch
         # 2B / B*n, amortizing dispatch and padding small batch dims
         multi_fn = jax.jit(jax.vmap(
-            lambda v, fp, fn_, ml, mr: base_full(v, norm(fp), norm(fn_),
-                                                 ml, mr),
-            in_axes=(None, 0, 0, 0, 0)))
+            lambda v, frames, mvs: base_full(v, norm(frames[0]),
+                                             norm(frames[1]),
+                                             mvs[0], mvs[1]),
+            in_axes=(None, 0, 0)))
 
-        keys = ("frame_prev", "frame_next", "mvs_left", "mvs_right")
         groups = []
         pool = batches[1:1 + (len(batches[1:]) // B) * B]
         for i in range(0, len(pool), B):
             chunk = pool[i:i + B]
             groups.append(tuple(
-                jnp.stack([jnp.asarray(c[k]) for c in chunk]) for k in keys))
+                jnp.stack([jnp.asarray(c[k]) for c in chunk])
+                for k in ("frames", "mvs")))
         outm, _ = multi_fn(variables, *groups[0])
         force(outm)  # compile
         t0 = time.perf_counter()

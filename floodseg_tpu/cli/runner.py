@@ -728,14 +728,15 @@ class Runner:
         return state
 
     def _int8_decode(self) -> bool:
-        """Resolve model.int8_decode (None = auto: pspnet decoder on an
-        int8-MXU backend). Validated end-to-end on a trained model in
-        tests/test_quant.py; forced True errors loudly on non-SegHead
-        decoders inside ops/quant.py."""
+        """Resolve model.int8_decode (None = auto: pspnet/deeplabv3 decoder
+        on an int8-MXU backend; 688 vs 526 and 864 vs 603 fps on one v5e).
+        Validated in tests/test_quant.py (pspnet: end-to-end on a trained
+        head; deeplabv3: worst-case random-logit argmax agreement); forced
+        True errors loudly on unsupported decoders (vit MaskTransformer)."""
         v = self.cfg.model.int8_decode
         if v is not None:
             return bool(v)
-        if self.cfg.model.arch != "pspnet":
+        if self.cfg.model.arch not in ("pspnet", "deeplabv3"):
             return False
         import jax
         return jax.default_backend() in ("tpu", "axon")

@@ -86,12 +86,13 @@ class ModelConfig:
     no_warp: bool = False
     no_cropping: bool = False
     no_interpolation_percentage: float = 0.0
-    # TPU predict acceleration: run the decoder's 3x3 conv in int8 on the
-    # MXU (BN folded, dynamic per-tensor activation scale; ops/quant.py).
-    # No reference equivalent; checkpoints are unaffected. None = auto:
-    # enabled for the pspnet flow predict when the backend has the 2x int8
-    # MXU path (tpu/axon), off elsewhere (CPU int8 convs are slower, and
-    # only the SegHead decoder is supported). True forces it (loud error on
+    # TPU predict acceleration: run the decoder's heavy convs in int8 on
+    # the MXU (BN folded, dynamic per-tensor activation scales;
+    # ops/quant.py). No reference equivalent; checkpoints are unaffected.
+    # None = auto: enabled for the pspnet (SegHead) and deeplabv3
+    # (DeepLabHead) flow predict when the backend has the 2x int8 MXU path
+    # (tpu/axon), off elsewhere (CPU int8 convs are slower; the vit
+    # MaskTransformer has no int8 path). True forces it (loud error on
     # unsupported heads); False forces full-precision decode.
     int8_decode: Optional[bool] = None
     predict_v_id: str = "florida-01"

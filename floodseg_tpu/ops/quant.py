@@ -59,13 +59,14 @@ def quantize_activation_dynamic(x: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
-def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, padding):
+def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, padding, dilation=(1, 1)):
     """int8 x int8 -> int32 conv (NHWC/HWIO), the v5e MXU int8 path."""
     dn = lax.conv_dimension_numbers(x_q.shape, w_q.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     return lax.conv_general_dilated(
         x_q, w_q, window_strides=(1, 1), padding=padding,
-        dimension_numbers=dn, preferred_element_type=jnp.int32)
+        rhs_dilation=dilation, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
 
 
 def _require(tree: Dict, keys, what: str):
@@ -105,6 +106,81 @@ def int8_seghead_decode(params: Dict[str, Any], stats: Dict[str, Any],
 
     w2 = params["conv2"]["kernel"].astype(dtype)
     b2 = params["conv2"]["bias"].astype(dtype)
+    dn = lax.conv_dimension_numbers(y.shape, w2.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(y, w2, (1, 1), ((0, 0), (0, 0)),
+                                   dimension_numbers=dn)
+    return out + b2
+
+
+def _fold_quant(params, stats, conv_name, bn_name, eps):
+    """Fold a conv+BN pair and quantize the folded weight: (w_q, sw, b_f)."""
+    w = _require(params, (conv_name, "kernel"), "params")
+    gamma = _require(params, (bn_name, "scale"), "params")
+    beta = _require(params, (bn_name, "bias"), "params")
+    mean = _require(stats, (bn_name, "mean"), "batch_stats")
+    var = _require(stats, (bn_name, "var"), "batch_stats")
+    w_f, b_f = fold_bn(w, gamma, beta, mean, var, eps)
+    w_q, sw = quantize_weight_per_channel(w_f)
+    return w_q, sw, b_f
+
+
+def int8_deeplab_decode(params: Dict[str, Any], stats: Dict[str, Any],
+                        f: jnp.ndarray, dtype: Any = jnp.bfloat16,
+                        rates=(12, 24, 36), eps: float = 1e-5) -> jnp.ndarray:
+    """DeepLabHead eval forward with the heavy convs in int8 (BN folded).
+
+    Matches models/deeplabv3.py::DeepLabHead(train=False) (torchvision
+    DeepLabHead, /root/reference/model/deeplabv3.py:15-19) up to
+    quantization error. int8 on the MXU: the ASPP 1x1 + three dilated 3x3
+    branch convs over the 2048-ch input (one shared activation scale), the
+    1280->256 projection, and the trailing 3x3 — together ~97% of the
+    head's FLOPs. Full precision: the 1x1-spatial pooling branch and the
+    tiny classifier 1x1. params/stats: the head's subtree (e.g.
+    variables["params"]["classifier"]).
+    """
+    aspp_p = _require(params, ("aspp",), "params")
+    aspp_s = _require(stats, ("aspp",), "batch_stats")
+    h, w = f.shape[1], f.shape[2]
+
+    x_q, sx = quantize_activation_dynamic(f)
+
+    branches = []
+    w_q, sw, b_f = _fold_quant(aspp_p, aspp_s, "b0_conv", "b0_bn", eps)
+    acc = conv_int8(x_q, w_q, padding=((0, 0), (0, 0)))
+    branches.append(jax.nn.relu(acc.astype(jnp.float32) * (sx * sw) + b_f))
+    for i, r in enumerate(rates):
+        w_q, sw, b_f = _fold_quant(aspp_p, aspp_s, f"b{i + 1}_conv",
+                                   f"b{i + 1}_bn", eps)
+        acc = conv_int8(x_q, w_q, padding=((r, r), (r, r)), dilation=(r, r))
+        branches.append(
+            jax.nn.relu(acc.astype(jnp.float32) * (sx * sw) + b_f))
+
+    # image-pooling branch: 1x1 spatial — negligible FLOPs, stays full
+    # precision (quantizing it would add error for zero speedup)
+    from floodseg_tpu.ops.resize import resize_bilinear
+    y = jnp.mean(f.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    wp, bp = fold_bn(aspp_p["pool_conv"]["kernel"],
+                     aspp_p["pool_bn"]["scale"], aspp_p["pool_bn"]["bias"],
+                     aspp_s["pool_bn"]["mean"], aspp_s["pool_bn"]["var"], eps)
+    y = jax.nn.relu(jnp.einsum("bhwi,io->bhwo", y, wp[0, 0]) + bp)
+    branches.append(resize_bilinear(y, (h, w), align_corners=False))
+
+    cat = jnp.concatenate(branches, axis=-1)
+    c_q, sc = quantize_activation_dynamic(cat)
+    w_q, sw, b_f = _fold_quant(aspp_p, aspp_s, "project_conv",
+                               "project_bn", eps)
+    acc = conv_int8(c_q, w_q, padding=((0, 0), (0, 0)))
+    proj = jax.nn.relu(acc.astype(jnp.float32) * (sc * sw) + b_f)
+    # (ASPP project dropout is eval-off)
+
+    p_q, sp = quantize_activation_dynamic(proj)
+    w_q, sw, b_f = _fold_quant(params, stats, "conv", "bn", eps)
+    acc = conv_int8(p_q, w_q, padding=((1, 1), (1, 1)))
+    y = jax.nn.relu(acc.astype(jnp.float32) * (sp * sw) + b_f).astype(dtype)
+
+    w2 = params["classifier"]["kernel"].astype(dtype)
+    b2 = params["classifier"]["bias"].astype(dtype)
     dn = lax.conv_dimension_numbers(y.shape, w2.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(y, w2, (1, 1), ((0, 0), (0, 0)),

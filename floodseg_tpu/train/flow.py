@@ -155,16 +155,26 @@ def make_flow_eval_step(model, num_classes: int, ignore_index: int = 255,
 
 def _predict_decode(model, variables, int8_decode: bool):
     """Decode closure for the predict programs: the model's decode method,
-    or (opt-in) the int8-quantized SegHead path — the decoder conv is the
-    predict program's hot spot and the v5e MXU runs int8 at 2x bf16
-    (ops/quant.py; measured 30.5 -> 19.2 ms on the bench decoder shape)."""
+    or the int8-quantized decoder — the decoder convs are the predict
+    program's hot spot and the v5e MXU runs int8 at 2x bf16 (ops/quant.py;
+    measured 30.5 -> 19.2 ms on the bench SegHead shape). Dispatches on the
+    decoder's params structure: pspnet SegHead ("cls") or the DeepLabHead
+    ("classifier" with "aspp"); other decoders (vit MaskTransformer) raise."""
     if not int8_decode:
         return lambda f: model.apply(variables, f, train=False, method="decode")
     from ..ops import quant
     dtype = getattr(model, "dtype", jnp.bfloat16)
-    return lambda f: quant.int8_seghead_decode(
-        variables["params"]["cls"], variables["batch_stats"]["cls"], f,
-        dtype=dtype)
+    params = variables["params"]
+    if "cls" in params:
+        return lambda f: quant.int8_seghead_decode(
+            params["cls"], variables["batch_stats"]["cls"], f, dtype=dtype)
+    if "classifier" in params and "aspp" in params["classifier"]:
+        return lambda f: quant.int8_deeplab_decode(
+            params["classifier"], variables["batch_stats"]["classifier"], f,
+            dtype=dtype)
+    raise ValueError(
+        "int8_decode supports the pspnet SegHead and the deeplabv3 "
+        "DeepLabHead decoders; use bf16 decode for other archs")
 
 
 def make_flow_predict_fn(model, n: int, feature_based: bool = True,

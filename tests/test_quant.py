@@ -208,6 +208,110 @@ def test_runner_int8_auto_resolution():
     assert resolve(True, "pspnet") is True
     assert resolve(True, "vit") is True       # forced: quant errors loudly
     assert resolve(False, "pspnet") is False
-    assert resolve(None, "vit") is False      # auto never quantizes non-SegHead
-    assert resolve(None, "deeplabv3") is False
-    assert resolve(None, "pspnet") is on_mxu  # auto = backend-gated
+    assert resolve(None, "vit") is False      # no int8 MaskTransformer path
+    assert resolve(None, "pspnet") is on_mxu       # auto = backend-gated
+    assert resolve(None, "deeplabv3") is on_mxu    # DeepLabHead supported
+
+
+@pytest.fixture(scope="module")
+def deeplab_vars():
+    model = build_model("deeplabv3", classes=5, layers=50, with_aux=False)
+    x0 = jnp.zeros((1, 33, 33, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+
+    # non-trivial BN running stats + affine in every head BN so the folding
+    # algebra is actually exercised (init is mean=0/var=1/scale=1/bias=0)
+    def perturb(tree, key, is_stats):
+        import zlib
+        out = {}
+        for k, v in tree.items():
+            # crc32, not hash(): str hash is salted per process and would
+            # make the fixture non-deterministic across runs
+            key = jax.random.fold_in(key, zlib.crc32(k.encode()) % 2**30)
+            if isinstance(v, dict):
+                out[k] = perturb(v, key, is_stats)
+            elif is_stats and k == "mean":
+                out[k] = 0.3 * jax.random.normal(key, v.shape)
+            elif is_stats and k == "var":
+                out[k] = jnp.exp(0.5 * jax.random.normal(key, v.shape))
+            elif not is_stats and k == "scale":
+                out[k] = 1.0 + 0.1 * jax.random.normal(key, v.shape)
+            elif not is_stats and k == "bias" and v.ndim == 1:
+                out[k] = 0.1 * jax.random.normal(key, v.shape)
+            else:
+                out[k] = v
+        return out
+
+    variables = {
+        "params": {**variables["params"],
+                   "classifier": perturb(variables["params"]["classifier"],
+                                         jax.random.PRNGKey(11), False)},
+        "batch_stats": {**variables["batch_stats"],
+                        "classifier": perturb(
+                            variables["batch_stats"]["classifier"],
+                            jax.random.PRNGKey(12), True)},
+    }
+    return model, variables
+
+
+def test_int8_deeplab_tracks_f32(deeplab_vars):
+    """int8 DeepLabHead decode tracks the f32 decode; argmax maps barely
+    move even on random near-uniform logits (the worst case)."""
+    model, variables = deeplab_vars
+    f = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(3),
+                                      (2, 17, 19, 2048)))
+    want = np.asarray(
+        model.apply(variables, f, train=False, method="decode"), np.float32)
+    got = np.asarray(jax.jit(quant.int8_deeplab_decode,
+                             static_argnames=("dtype",))(
+        variables["params"]["classifier"],
+        variables["batch_stats"]["classifier"], f,
+        dtype=jnp.float32), np.float32)
+    assert got.shape == want.shape
+    rng = np.abs(want).max()
+    assert np.abs(got - want).max() / rng < 0.08, (
+        np.abs(got - want).max(), rng)
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.95, agree
+
+
+def test_predict_fn_int8_deeplab_runs(deeplab_vars):
+    """The fused flow-predict program routes deeplabv3 through the int8
+    DeepLabHead and its class maps match the full-precision program."""
+    from floodseg_tpu.train.flow import make_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid
+
+    model, variables = deeplab_vars
+    n = 3
+    h, w = 32, 32
+    dg = default_grid(h, w)
+    k = jax.random.PRNGKey(1)
+    fp = jax.random.uniform(k, (1, h, w, 3))
+    fn_ = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
+    gh, gw = dg.shape[0], dg.shape[1]
+    ident = jnp.broadcast_to(jnp.asarray(dg), (n - 1, 1, gh, gw, 2))
+
+    base = make_flow_predict_fn(model, n=n, out_size=(h, w), default_grid=dg)
+    q = make_flow_predict_fn(model, n=n, out_size=(h, w), default_grid=dg,
+                             int8_decode=True)
+    out_b = np.asarray(base(variables, fp, fn_, ident, ident))
+    out_q = np.asarray(q(variables, fp, fn_, ident, ident))
+    assert out_q.shape == out_b.shape
+    assert (out_q == out_b).mean() > 0.95, (out_q == out_b).mean()
+
+
+def test_predict_fn_int8_vit_rejects():
+    """Forced int8 on an unsupported decoder fails loudly at build time."""
+    from floodseg_tpu.train.flow import make_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid
+
+    model = build_model("vit", classes=5, image_size=64)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    dg = default_grid(64, 64)
+    fn = make_flow_predict_fn(model, n=3, out_size=(64, 64), default_grid=dg,
+                              int8_decode=True)
+    ident = jnp.broadcast_to(jnp.asarray(dg), (2, 1, *dg.shape))
+    x = jnp.zeros((1, 64, 64, 3))
+    with pytest.raises(ValueError, match="int8_decode supports"):
+        fn(variables, x, x, ident, ident)
