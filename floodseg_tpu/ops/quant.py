@@ -51,9 +51,19 @@ def quantize_weight_per_channel(w: jnp.ndarray):
     return q, scale
 
 
-def quantize_activation_dynamic(x: jnp.ndarray):
-    """Symmetric per-tensor int8 with an in-program absmax scale."""
-    scale = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+def quantize_activation_dynamic(x: jnp.ndarray, absmax=None):
+    """Symmetric per-tensor int8 with an in-program absmax scale.
+
+    ``absmax``: optional precomputed upper bound on ``max|x|`` (a traced
+    scalar). Callers that know a bound from an EARLIER, smaller tensor pass
+    it so XLA can fuse the quantization into x's producer instead of
+    scheduling a full extra read of x for the reduction — e.g. the flow
+    predict stack, whose post-resize values are convex combinations of the
+    grid-resolution chains (bilinear weights are in [0,1] and sum to 1), so
+    the chains' absmax is a valid, nearly-tight bound."""
+    if absmax is None:
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = absmax.astype(jnp.float32) / 127.0
     scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale
@@ -83,12 +93,14 @@ def _require(tree: Dict, keys, what: str):
 
 def int8_seghead_decode(params: Dict[str, Any], stats: Dict[str, Any],
                         f: jnp.ndarray, dtype: Any = jnp.bfloat16,
-                        eps: float = 1e-5) -> jnp.ndarray:
+                        eps: float = 1e-5, act_absmax=None) -> jnp.ndarray:
     """SegHead eval forward with the 3x3 conv in int8 (BN folded).
 
     params/stats: the head's subtree (e.g. variables["params"]["cls"] /
     variables["batch_stats"]["cls"]). f: (B, H, W, CIN) features. Matches
     SegHead(train=False) up to quantization error; dropout is eval-off.
+    ``act_absmax``: optional precomputed bound on max|f| (see
+    quantize_activation_dynamic).
     """
     w1 = _require(params, ("conv1", "kernel"), "params")
     gamma = _require(params, ("bn", "scale"), "params")
@@ -98,7 +110,7 @@ def int8_seghead_decode(params: Dict[str, Any], stats: Dict[str, Any],
 
     w_f, b_f = fold_bn(w1, gamma, beta, mean, var, eps)
     w_q, sw = quantize_weight_per_channel(w_f)
-    x_q, sx = quantize_activation_dynamic(f)
+    x_q, sx = quantize_activation_dynamic(f, absmax=act_absmax)
 
     acc = conv_int8(x_q, w_q, padding=((1, 1), (1, 1)))
     y = acc.astype(jnp.float32) * (sx * sw) + b_f
@@ -127,7 +139,8 @@ def _fold_quant(params, stats, conv_name, bn_name, eps):
 
 def int8_deeplab_decode(params: Dict[str, Any], stats: Dict[str, Any],
                         f: jnp.ndarray, dtype: Any = jnp.bfloat16,
-                        rates=(12, 24, 36), eps: float = 1e-5) -> jnp.ndarray:
+                        rates=(12, 24, 36), eps: float = 1e-5,
+                        act_absmax=None) -> jnp.ndarray:
     """DeepLabHead eval forward with the heavy convs in int8 (BN folded).
 
     Matches models/deeplabv3.py::DeepLabHead(train=False) (torchvision
@@ -143,7 +156,7 @@ def int8_deeplab_decode(params: Dict[str, Any], stats: Dict[str, Any],
     aspp_s = _require(stats, ("aspp",), "batch_stats")
     h, w = f.shape[1], f.shape[2]
 
-    x_q, sx = quantize_activation_dynamic(f)
+    x_q, sx = quantize_activation_dynamic(f, absmax=act_absmax)
 
     branches = []
     w_q, sw, b_f = _fold_quant(aspp_p, aspp_s, "b0_conv", "b0_bn", eps)

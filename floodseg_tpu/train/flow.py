@@ -161,17 +161,19 @@ def _predict_decode(model, variables, int8_decode: bool):
     decoder's params structure: pspnet SegHead ("cls") or the DeepLabHead
     ("classifier" with "aspp"); other decoders (vit MaskTransformer) raise."""
     if not int8_decode:
-        return lambda f: model.apply(variables, f, train=False, method="decode")
+        return lambda f, act_absmax=None: model.apply(
+            variables, f, train=False, method="decode")
     from ..ops import quant
     dtype = getattr(model, "dtype", jnp.bfloat16)
     params = variables["params"]
     if "cls" in params:
-        return lambda f: quant.int8_seghead_decode(
-            params["cls"], variables["batch_stats"]["cls"], f, dtype=dtype)
+        return lambda f, act_absmax=None: quant.int8_seghead_decode(
+            params["cls"], variables["batch_stats"]["cls"], f, dtype=dtype,
+            act_absmax=act_absmax)
     if "classifier" in params and "aspp" in params["classifier"]:
-        return lambda f: quant.int8_deeplab_decode(
+        return lambda f, act_absmax=None: quant.int8_deeplab_decode(
             params["classifier"], variables["batch_stats"]["classifier"], f,
-            dtype=dtype)
+            dtype=dtype, act_absmax=act_absmax)
     raise ValueError(
         "int8_decode supports the pspnet SegHead and the deeplabv3 "
         "DeepLabHead decoders; use bf16 decode for other archs")
@@ -199,6 +201,7 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
             decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
+            decode_wants_absmax=int8_decode,
         )
         logits = interp.predict_clip(
             frame_prev, frame_next, mvs_left, mvs_right, n,
@@ -233,6 +236,7 @@ def make_flow_predict_crop_fn(model, n: int, num_classes: int,
             decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
+            decode_wants_absmax=int8_decode,
         )
 
         def one(fp, fn_, l, r):
@@ -269,6 +273,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
             decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
+            decode_wants_absmax=int8_decode,
         )
 
     @jax.jit

@@ -88,6 +88,12 @@ class FlowInterpolator:
     decode: Callable[[jnp.ndarray], jnp.ndarray]
     feature_based: bool = True
     no_warp: bool = False
+    # decode accepts act_absmax= (int8 decoders, ops/quant.py): predict_clip
+    # then passes a bound on the stack's |max| computed from the SMALL
+    # grid-resolution chains, so the quantization fuses into the resize
+    # epilogue instead of re-reading the full-resolution stack (bilinear
+    # outputs are convex combinations of inputs, so the bound is valid)
+    decode_wants_absmax: bool = False
 
     # ---------------- training ----------------
 
@@ -157,7 +163,11 @@ class FlowInterpolator:
             nxt = warp(carry, g)
             return nxt, nxt
 
-        _, rest = jax.lax.scan(step, y0, grids[1:])
+        # unroll: each iteration is ~20 us of gather math on a (32, 32,
+        # 4096) map but ~68 us inside a while loop (v5e trace) — unrolling
+        # 6 iterations per while step recovers most of the loop overhead
+        # without the compile-time cost of full unrolling
+        _, rest = jax.lax.scan(step, y0, grids[1:], unroll=6)
         chain = jnp.concatenate([y0[None], rest], axis=0)  # (T, B, gh, gw, C)
         t = chain.shape[0]
         if resize and (chain.shape[2] != h or chain.shape[3] != w):
@@ -234,6 +244,20 @@ class FlowInterpolator:
         f_next_raw = f_next
         fh, fw = f.shape[1], f.shape[2]
 
+        def _absmax(x):
+            return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+        # absmax hint for an int8 decoder: every map in the decoded stack is
+        # a convex combination (bilinear warps/resizes, identity-grid
+        # resample, (n-p)/n + p/n blends) of the raw key encodings, so
+        # max|stack| <= max(max|f|, max|f_next|) — computable BEFORE the
+        # expensive full-resolution maps materialize
+        absmax_hint = None
+        if self.decode_wants_absmax and self.feature_based:
+            absmax_hint = _absmax(f)
+            if f_next is not None:
+                absmax_hint = jnp.maximum(absmax_hint, _absmax(f_next))
+
         maps = []
         if not single:
             if not self.no_warp:
@@ -271,7 +295,9 @@ class FlowInterpolator:
         stack = maps[0][None] if single else jnp.concatenate(
             [maps[0][None], maps[1]], axis=0
         )
-        out = dec(stack)  # single batched decode (flow/model.py:176-179)
+        # single batched decode (flow/model.py:176-179)
+        out = dec(stack) if absmax_hint is None else dec(
+            stack, act_absmax=absmax_hint)
         if out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
             out = resize_bilinear(out, out_size, align_corners=True)
         if return_next_enc:
