@@ -51,6 +51,23 @@ def quantize_weight_per_channel(w: jnp.ndarray):
     return q, scale
 
 
+def scale_from_absmax(absmax) -> jnp.ndarray:
+    """Symmetric int8 scale from an |max| bound (shared by every caller so
+    pre-quantized inputs and in-decode quantization agree bit-exactly)."""
+    scale = absmax.astype(jnp.float32) / 127.0
+    return jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+
+
+def quantize_with_scale(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """int8 quantization at a FIXED scale. Because the scale does not
+    depend on x, quantizing tensor pieces separately and concatenating is
+    bit-identical to quantizing the concatenation — which lets XLA fuse
+    each piece's quantization into its producer instead of re-reading a
+    large concatenated stack (the flow-predict decode input)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8)
+
+
 def quantize_activation_dynamic(x: jnp.ndarray, absmax=None):
     """Symmetric per-tensor int8 with an in-program absmax scale.
 
@@ -60,13 +77,16 @@ def quantize_activation_dynamic(x: jnp.ndarray, absmax=None):
     scheduling a full extra read of x for the reduction — e.g. the flow
     predict stack, whose post-resize values are convex combinations of the
     grid-resolution chains (bilinear weights are in [0,1] and sum to 1), so
-    the chains' absmax is a valid, nearly-tight bound."""
+    the chains' absmax is a valid, nearly-tight bound. If ``x`` is already
+    int8, it was pre-quantized with quantize_with_scale at the SAME
+    absmax-derived scale and passes through untouched."""
+    if x.dtype == jnp.int8:
+        assert absmax is not None, "pre-quantized input needs its absmax"
+        return x, scale_from_absmax(absmax)
     if absmax is None:
         absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = absmax.astype(jnp.float32) / 127.0
-    scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
+    scale = scale_from_absmax(absmax)
+    return quantize_with_scale(x, scale), scale
 
 
 def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, padding, dilation=(1, 1)):
@@ -170,9 +190,12 @@ def int8_deeplab_decode(params: Dict[str, Any], stats: Dict[str, Any],
             jax.nn.relu(acc.astype(jnp.float32) * (sx * sw) + b_f))
 
     # image-pooling branch: 1x1 spatial — negligible FLOPs, stays full
-    # precision (quantizing it would add error for zero speedup)
+    # precision (quantizing it would add error for zero speedup); a
+    # pre-quantized input dequantizes through its scale first
     from floodseg_tpu.ops.resize import resize_bilinear
-    y = jnp.mean(f.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    f_real = (x_q.astype(jnp.float32) * sx if f.dtype == jnp.int8
+              else f.astype(jnp.float32))
+    y = jnp.mean(f_real, axis=(1, 2), keepdims=True)
     wp, bp = fold_bn(aspp_p["pool_conv"]["kernel"],
                      aspp_p["pool_bn"]["scale"], aspp_p["pool_bn"]["bias"],
                      aspp_s["pool_bn"]["mean"], aspp_s["pool_bn"]["var"], eps)

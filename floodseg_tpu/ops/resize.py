@@ -41,11 +41,19 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     return m  # f64 master copy; resize_bilinear casts per input dtype
 
 
-def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.ndarray:
+def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = True,
+                    fast_lowp: bool = False) -> jnp.ndarray:
     """Bilinearly resize NHWC (or HWC) ``x`` to spatial ``size=(H, W)``.
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear', align_corners=...)``
     exactly (up to float associativity).
+
+    ``fast_lowp``: keep the between-axes intermediate (and the matrices) in
+    the INPUT dtype instead of f32 — for a bf16 input this halves the HBM
+    traffic of the intermediate. Rounding error is ~bf16 eps (~0.4%), so
+    this is only used where a coarser approximation immediately follows
+    (the int8-quantized flow-predict decode); every parity path keeps the
+    default exact f32 compute.
     """
     h_out, w_out = int(size[0]), int(size[1])
     squeeze = x.ndim == 3
@@ -57,7 +65,7 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.nda
     dtype = x.dtype
     # f32 compute for bf16/f32 inputs (unchanged); true f64 under x64 so
     # the f64 parity oracles stay exact
-    cdt = jnp.promote_types(dtype, jnp.float32)
+    cdt = dtype if fast_lowp else jnp.promote_types(dtype, jnp.float32)
     mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=cdt)
     mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=cdt)
     y = x.astype(cdt)

@@ -289,8 +289,19 @@ class FlowInterpolator:
             else:
                 inter = wf * fwd + wb * bwd[::-1]  # bwd[n-p-1] for p=1..n-1
                 if inter.shape[1] != fh or inter.shape[2] != fw:
-                    inter = resize_bilinear(inter, (fh, fw), align_corners=True)
+                    inter = resize_bilinear(inter, (fh, fw),
+                                            align_corners=True,
+                                            fast_lowp=absmax_hint is not None)
             maps.append(inter)
+
+        if absmax_hint is not None:
+            # int8 decoder: quantize each piece at the shared hint-derived
+            # scale BEFORE the concat — bit-identical to quantizing the
+            # concatenation (fixed scale), but each piece's quantization
+            # fuses into its producer instead of re-reading the full stack
+            from floodseg_tpu.ops.quant import quantize_with_scale, scale_from_absmax
+            s = scale_from_absmax(absmax_hint)
+            maps = [quantize_with_scale(m, s) for m in maps]
 
         stack = maps[0][None] if single else jnp.concatenate(
             [maps[0][None], maps[1]], axis=0
