@@ -153,6 +153,15 @@ def make_flow_eval_step(model, num_classes: int, ignore_index: int = 255,
     return eval_step
 
 
+
+def _decode_split_ok(model, variables) -> bool:
+    """Split-decode (key map + interpolated maps as two decode calls) is a
+    win only for the cheap single-conv SegHead; the DeepLabHead's batch-1
+    dilated ASPP duplicate runs at terrible MXU utilization (measured -30%)
+    and the vit MaskTransformer decode is likewise nontrivial per call."""
+    return "cls" in variables["params"]
+
+
 def _predict_decode(model, variables, int8_decode: bool):
     """Decode closure for the predict programs: the model's decode method,
     or the int8-quantized decoder — the decoder convs are the predict
@@ -202,6 +211,7 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
             feature_based=feature_based,
             no_warp=no_warp,
             decode_wants_absmax=int8_decode,
+            decode_split=_decode_split_ok(model, variables),
         )
         logits = interp.predict_clip(
             frame_prev, frame_next, mvs_left, mvs_right, n,
@@ -237,6 +247,7 @@ def make_flow_predict_crop_fn(model, n: int, num_classes: int,
             feature_based=feature_based,
             no_warp=no_warp,
             decode_wants_absmax=int8_decode,
+            decode_split=_decode_split_ok(model, variables),
         )
 
         def one(fp, fn_, l, r):
@@ -274,6 +285,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
             feature_based=feature_based,
             no_warp=no_warp,
             decode_wants_absmax=int8_decode,
+            decode_split=_decode_split_ok(model, variables),
         )
 
     @jax.jit

@@ -89,11 +89,18 @@ class FlowInterpolator:
     feature_based: bool = True
     no_warp: bool = False
     # decode accepts act_absmax= (int8 decoders, ops/quant.py): predict_clip
-    # then passes a bound on the stack's |max| computed from the SMALL
-    # grid-resolution chains, so the quantization fuses into the resize
-    # epilogue instead of re-reading the full-resolution stack (bilinear
-    # outputs are convex combinations of inputs, so the bound is valid)
+    # then passes a bound on the stack's |max| computed on the SMALL raw key
+    # encodings, so the quantization fuses into the resize epilogue instead
+    # of re-reading the full-resolution stack (bilinear outputs are convex
+    # combinations of inputs, so the bound is valid)
     decode_wants_absmax: bool = False
+    # decode the key map and the n-1 interpolated maps as TWO calls and
+    # concatenate only the logits — skips the ~430 MB feature-resolution
+    # concat copy, bit-identical under eval BN/LN. Only worth it for cheap
+    # single-conv heads (pspnet SegHead): measured +11% there but -30% for
+    # the DeepLabHead, whose batch-1 dilated ASPP convs run at terrible MXU
+    # utilization when duplicated for the lone key map
+    decode_split: bool = False
 
     # ---------------- training ----------------
 
@@ -163,11 +170,13 @@ class FlowInterpolator:
             nxt = warp(carry, g)
             return nxt, nxt
 
-        # unroll: each iteration is ~20 us of gather math on a (32, 32,
-        # 4096) map but ~68 us inside a while loop (v5e trace) — unrolling
-        # 6 iterations per while step recovers most of the loop overhead
-        # without the compile-time cost of full unrolling
-        _, rest = jax.lax.scan(step, y0, grids[1:], unroll=6)
+        # unroll fully: each iteration is ~20 us of gather math on a
+        # (32, 32, 4096) map but ~68 us inside a while loop, and partial
+        # unrolling still pays dynamic-update-slice buffer traffic for the
+        # stacked outputs (v5e traces); T is small and static (frame_delta
+        # - 2), so full unrolling costs little compile time and lets XLA
+        # write each step's output straight into the chain stack
+        _, rest = jax.lax.scan(step, y0, grids[1:], unroll=True)
         chain = jnp.concatenate([y0[None], rest], axis=0)  # (T, B, gh, gw, C)
         t = chain.shape[0]
         if resize and (chain.shape[2] != h or chain.shape[3] != w):
@@ -303,12 +312,17 @@ class FlowInterpolator:
             s = scale_from_absmax(absmax_hint)
             maps = [quantize_with_scale(m, s) for m in maps]
 
-        stack = maps[0][None] if single else jnp.concatenate(
-            [maps[0][None], maps[1]], axis=0
-        )
-        # single batched decode (flow/model.py:176-179)
-        out = dec(stack) if absmax_hint is None else dec(
-            stack, act_absmax=absmax_hint)
+        # batched decode (flow/model.py:176-179)
+        _dec = (dec if absmax_hint is None
+                else partial(dec, act_absmax=absmax_hint))
+        if single:
+            out = _dec(maps[0][None])
+        elif self.decode_split:
+            # two decodes, concat only the logits (see decode_split above)
+            out = jnp.concatenate([_dec(maps[0][None]), _dec(maps[1])],
+                                  axis=0)
+        else:
+            out = _dec(jnp.concatenate([maps[0][None], maps[1]], axis=0))
         if out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
             out = resize_bilinear(out, out_size, align_corners=True)
         if return_next_enc:
