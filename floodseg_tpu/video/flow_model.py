@@ -156,38 +156,42 @@ class FlowInterpolator:
 
     # ---------------- inference (the throughput path) ----------------
 
-    def _predict_chains_batched(self, f, grids, resize=True):
+    def _predict_chains_batched(self, f, grids, resize=True, reverse=False):
         """All T intermediate warps of a BATCH of maps.
 
         f: (B, H, W, C); grids: (T, B, gh, gw, 2). Returns (T, B, H, W, C)
         resized back to (H, W) when ``resize`` (else at grid resolution).
         The chain always runs at grid resolution (flow/model.py:131-151).
+
+        Fully unrolled Python loop rather than lax.scan: each iteration is
+        ~20 us of gather math on a (32, 32, 4096) map but cost ~68 us
+        inside a while loop, partial unrolling still paid
+        dynamic-update-slice buffer traffic for the stacked outputs, and T
+        is small and static (frame_delta - 2). Explicit unrolling also lets
+        ``reverse`` stack the chain in reversed order for free — the
+        backward chain is consumed as bwd[n-p-1], and reversing at stack
+        time deletes a 0.6 ms/window reverse op (v5e trace).
         """
         b, h, w, c = f.shape
-        y0 = warp(f, grids[0])
-
-        def step(carry, g):
-            nxt = warp(carry, g)
-            return nxt, nxt
-
-        # unroll fully: each iteration is ~20 us of gather math on a
-        # (32, 32, 4096) map but ~68 us inside a while loop, and partial
-        # unrolling still pays dynamic-update-slice buffer traffic for the
-        # stacked outputs (v5e traces); T is small and static (frame_delta
-        # - 2), so full unrolling costs little compile time and lets XLA
-        # write each step's output straight into the chain stack
-        _, rest = jax.lax.scan(step, y0, grids[1:], unroll=True)
-        chain = jnp.concatenate([y0[None], rest], axis=0)  # (T, B, gh, gw, C)
-        t = chain.shape[0]
+        t = grids.shape[0]
+        y = warp(f, grids[0])
+        ys = [y]
+        for k in range(1, t):
+            y = warp(y, grids[k])
+            ys.append(y)
+        if reverse:
+            ys = ys[::-1]
+        chain = jnp.stack(ys, axis=0)  # (T, B, gh, gw, C)
         if resize and (chain.shape[2] != h or chain.shape[3] != w):
             flat = chain.reshape(t * b, *chain.shape[2:])
             flat = resize_bilinear(flat, (h, w), align_corners=True)
             chain = flat.reshape(t, b, h, w, c)
         return chain
 
-    def _predict_chains(self, f, grids, resize=True):
+    def _predict_chains(self, f, grids, resize=True, reverse=False):
         """Single-map chain: (1, H, W, C) + (T, 1, gh, gw, 2) -> (T, ...)."""
-        return self._predict_chains_batched(f, grids, resize=resize)[:, 0]
+        return self._predict_chains_batched(f, grids, resize=resize,
+                                            reverse=reverse)[:, 0]
 
     def predict_clip(
         self,
@@ -279,7 +283,9 @@ class FlowInterpolator:
                 # n-1 FUSED maps are resized — identical numerics, half the
                 # resize/fusion HBM traffic vs the reference's order
                 fwd = self._predict_chains(f, mvs_left, resize=False)
-                bwd = self._predict_chains(f_next, mvs_right, resize=False)
+                # stacked REVERSED: the blend consumes bwd[n-p-1]
+                bwd = self._predict_chains(f_next, mvs_right, resize=False,
+                                           reverse=True)
 
         # key-frame map through the identity grid (feature_based only)
         if self.feature_based and not self.no_warp and default_grid is not None:
@@ -296,7 +302,7 @@ class FlowInterpolator:
             if self.no_warp:
                 inter = wf * f[0][None] + wb * f_next[0][None]
             else:
-                inter = wf * fwd + wb * bwd[::-1]  # bwd[n-p-1] for p=1..n-1
+                inter = wf * fwd + wb * bwd  # bwd pre-reversed at stack time
                 if inter.shape[1] != fh or inter.shape[2] != fw:
                     inter = resize_bilinear(inter, (fh, fw),
                                             align_corners=True,
