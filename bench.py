@@ -139,9 +139,8 @@ def main():
     # backend has the 2x int8 MXU rate, unless forced either way
     if args.int8 and args.no_int8:
         raise SystemExit("--int8 and --no-int8 are mutually exclusive")
-    use_int8 = args.int8 or (not args.no_int8
-                             and args.arch in ("pspnet", "deeplabv3")
-                             and jax.default_backend() in ("tpu", "axon"))
+    from floodseg_tpu.ops.quant import int8_auto_default
+    use_int8 = args.int8 or (not args.no_int8 and int8_auto_default(args.arch))
     log(f"int8 decode: {use_int8}")
 
     bh, bw = 512 // 16, 512 // 16
@@ -196,9 +195,13 @@ def main():
     t0 = time.perf_counter()
     out = run(batches[0], first=True)
     force(out)
-    # warm the cached program too, then restore the cache to batches[0]'s
-    # next-key features so the timed region starts with the CORRECT feat
-    force(run(batches[1]))
+    # warm the cached program UNCONDITIONALLY (run(batches[1]) would skip
+    # it if frame-id continuity happened to break at this boundary, pushing
+    # a multi-second XLA compile into the timed region), then restore the
+    # cache to batches[0]'s next-key features so the timed region starts
+    # with the CORRECT feat
+    force(cached_fn(variables, state["feat"], batches[1]["frames"],
+                    batches[1]["mvs"])[0])
     force(run(batches[0], first=True))
     log(f"compile+first clip: {time.perf_counter() - t0:.1f}s, out {out.shape} {out.dtype}")
 

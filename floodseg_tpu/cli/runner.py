@@ -736,10 +736,8 @@ class Runner:
         v = self.cfg.model.int8_decode
         if v is not None:
             return bool(v)
-        if self.cfg.model.arch not in ("pspnet", "deeplabv3"):
-            return False
-        import jax
-        return jax.default_backend() in ("tpu", "axon")
+        from floodseg_tpu.ops.quant import int8_auto_default
+        return int8_auto_default(self.cfg.model.arch)
 
     def _eval_variables(self, state):
         if self.cfg.method in ("gan", "flow_gan"):
@@ -766,6 +764,10 @@ class Runner:
         subcommand, inherited by the reference — base/cli.py:198 wires
         after_validate like after_fit)."""
         cfg = self.cfg
+        if cfg.trainer.limit_val_batches == 0:
+            # same semantics as the fit loop: 0 DISABLES validation
+            # (Lightning); logging an empty meter would fabricate 0.0 mIoU
+            return {}
         state = state if state is not None else self._state
         eval_fn = getattr(self, "_eval_fn", None)
         if eval_fn is None:  # not via load_for_eval: build (and cache) it
@@ -791,6 +793,10 @@ class Runner:
 
     def test(self, state=None) -> Dict:
         cfg = self.cfg
+        if cfg.trainer.limit_test_batches == 0:
+            # 0 disables the pass (mirrors limit_val_batches in the fit
+            # loop) instead of logging a fabricated 0.0 mIoU
+            return {}
         state = state if state is not None else self._state
         variables = self._eval_variables(state)
         tf = self._transforms()

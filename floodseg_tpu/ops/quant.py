@@ -34,6 +34,20 @@ import jax.numpy as jnp
 from jax import lax
 
 
+#: archs whose flow-predict decoder has an int8 path (pspnet SegHead,
+#: deeplabv3 DeepLabHead); the vit MaskTransformer does not
+INT8_DECODE_ARCHS = ("pspnet", "deeplabv3")
+
+
+def int8_auto_default(arch: str) -> bool:
+    """Resolve the int8_decode=None AUTO default: quantized decode for a
+    supported arch on a backend with the 2x int8 MXU rate. Single source of
+    truth for the Runner, bench.py, and the tests."""
+    import jax
+    return (arch in INT8_DECODE_ARCHS
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 def fold_bn(w: jnp.ndarray, gamma, beta, mean, var, eps: float = 1e-5):
     """Fold eval-mode BN (y = gamma*(x-mean)/sqrt(var+eps)+beta) into a
     preceding bias-free conv. w: (kh, kw, cin, cout). Returns (w', b')."""

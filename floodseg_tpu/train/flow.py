@@ -154,7 +154,7 @@ def make_flow_eval_step(model, num_classes: int, ignore_index: int = 255,
 
 
 
-def _decode_split_ok(model, variables) -> bool:
+def _decode_split_ok(variables) -> bool:
     """Split-decode (key map + interpolated maps as two decode calls) is a
     win only for the cheap single-conv SegHead; the DeepLabHead's batch-1
     dilated ASPP duplicate runs at terrible MXU utilization (measured -30%)
@@ -211,7 +211,7 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
             feature_based=feature_based,
             no_warp=no_warp,
             decode_wants_absmax=int8_decode,
-            decode_split=_decode_split_ok(model, variables),
+            decode_split=_decode_split_ok(variables),
         )
         logits = interp.predict_clip(
             frame_prev, frame_next, mvs_left, mvs_right, n,
@@ -247,7 +247,7 @@ def make_flow_predict_crop_fn(model, n: int, num_classes: int,
             feature_based=feature_based,
             no_warp=no_warp,
             decode_wants_absmax=int8_decode,
-            decode_split=_decode_split_ok(model, variables),
+            decode_split=_decode_split_ok(variables),
         )
 
         def one(fp, fn_, l, r):
@@ -285,7 +285,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
             feature_based=feature_based,
             no_warp=no_warp,
             decode_wants_absmax=int8_decode,
-            decode_split=_decode_split_ok(model, variables),
+            decode_split=_decode_split_ok(variables),
         )
 
     @jax.jit
