@@ -173,12 +173,8 @@ class FlowInterpolator:
         time deletes a 0.6 ms/window reverse op (v5e trace).
         """
         b, h, w, c = f.shape
-        t = grids.shape[0]
-        y = warp(f, grids[0])
-        ys = [y]
-        for k in range(1, t):
-            y = warp(y, grids[k])
-            ys.append(y)
+        ys = self._predict_chain_list(f, grids)
+        t = len(ys)
         if reverse:
             ys = ys[::-1]
         chain = jnp.stack(ys, axis=0)  # (T, B, gh, gw, C)
@@ -187,6 +183,21 @@ class FlowInterpolator:
             flat = resize_bilinear(flat, (h, w), align_corners=True)
             chain = flat.reshape(t, b, h, w, c)
         return chain
+
+    def _predict_chain_list(self, f, grids):
+        """The unrolled warp chain as a per-step Python list.
+
+        f: (B, H, W, C); grids: (T, B, gh, gw, 2). Returns T maps of shape
+        (B, gh, gw, C) — step k is f warped through grids[0..k]. Keeping the
+        steps as separate values (instead of stacking here) lets the caller
+        fuse per-step epilogues (the (n-p)/n blend) into the stack write.
+        """
+        y = warp(f, grids[0])
+        ys = [y]
+        for k in range(1, grids.shape[0]):
+            y = warp(y, grids[k])
+            ys.append(y)
+        return ys
 
     def _predict_chains(self, f, grids, resize=True, reverse=False):
         """Single-map chain: (1, H, W, C) + (T, 1, gh, gw, 2) -> (T, ...)."""
@@ -282,10 +293,8 @@ class FlowInterpolator:
                 # linear, so the chains stay at grid resolution and only the
                 # n-1 FUSED maps are resized — identical numerics, half the
                 # resize/fusion HBM traffic vs the reference's order
-                fwd = self._predict_chains(f, mvs_left, resize=False)
-                # stacked REVERSED: the blend consumes bwd[n-p-1]
-                bwd = self._predict_chains(f_next, mvs_right, resize=False,
-                                           reverse=True)
+                fwd_list = self._predict_chain_list(f, mvs_left)
+                bwd_list = self._predict_chain_list(f_next, mvs_right)
 
         # key-frame map through the identity grid (feature_based only)
         if self.feature_based and not self.no_warp and default_grid is not None:
@@ -302,7 +311,16 @@ class FlowInterpolator:
             if self.no_warp:
                 inter = wf * f[0][None] + wb * f_next[0][None]
             else:
-                inter = wf * fwd + wb * bwd  # bwd pre-reversed at stack time
+                # blend AT STACK TIME: step p pairs fwd[p-1] with the
+                # backward chain's bwd[n-p-1] (natural order), and the
+                # scalar blend fuses into each stack write — half the
+                # dynamic-update-slice copies of stacking both chains and
+                # no separate blend pass over the two stacked buffers
+                # (same multiply-adds, bit-identical)
+                t = len(fwd_list)
+                inter = jnp.stack(
+                    [wf[k] * fwd_list[k][0] + wb[k] * bwd_list[t - 1 - k][0]
+                     for k in range(t)], axis=0)
                 if inter.shape[1] != fh or inter.shape[2] != fw:
                     inter = resize_bilinear(inter, (fh, fw),
                                             align_corners=True,
