@@ -8,9 +8,9 @@ blend forward/backward warps, and decode.
 Design differences from the torch version (same math, TPU shape discipline):
 
 - The per-clip predict path is ONE jit-compiled program: 2 encoder calls ->
-  two ``lax.scan`` warp chains -> a fused blend -> a single batched decoder
-  call over all ``n`` maps (the reference already batches the decode,
-  flow/model.py:173-179; we fuse the whole clip).
+  two fully-unrolled warp chains (blend fused into the stack writes) -> a
+  single batched decoder call over all ``n`` maps (the reference already
+  batches the decode, flow/model.py:173-179; we fuse the whole clip).
 - Training-time variable chain lengths (each sample warps ``left_index``
   times, flow/model.py:92-106) become a fixed-length scan with per-sample
   masking: chains are padded to ``frame_delta - 1`` identity grids by the
@@ -156,34 +156,6 @@ class FlowInterpolator:
 
     # ---------------- inference (the throughput path) ----------------
 
-    def _predict_chains_batched(self, f, grids, resize=True, reverse=False):
-        """All T intermediate warps of a BATCH of maps.
-
-        f: (B, H, W, C); grids: (T, B, gh, gw, 2). Returns (T, B, H, W, C)
-        resized back to (H, W) when ``resize`` (else at grid resolution).
-        The chain always runs at grid resolution (flow/model.py:131-151).
-
-        Fully unrolled Python loop rather than lax.scan: each iteration is
-        ~20 us of gather math on a (32, 32, 4096) map but cost ~68 us
-        inside a while loop, partial unrolling still paid
-        dynamic-update-slice buffer traffic for the stacked outputs, and T
-        is small and static (frame_delta - 2). Explicit unrolling also lets
-        ``reverse`` stack the chain in reversed order for free — the
-        backward chain is consumed as bwd[n-p-1], and reversing at stack
-        time deletes a 0.6 ms/window reverse op (v5e trace).
-        """
-        b, h, w, c = f.shape
-        ys = self._predict_chain_list(f, grids)
-        t = len(ys)
-        if reverse:
-            ys = ys[::-1]
-        chain = jnp.stack(ys, axis=0)  # (T, B, gh, gw, C)
-        if resize and (chain.shape[2] != h or chain.shape[3] != w):
-            flat = chain.reshape(t * b, *chain.shape[2:])
-            flat = resize_bilinear(flat, (h, w), align_corners=True)
-            chain = flat.reshape(t, b, h, w, c)
-        return chain
-
     def _predict_chain_list(self, f, grids):
         """The unrolled warp chain as a per-step Python list.
 
@@ -191,6 +163,12 @@ class FlowInterpolator:
         (B, gh, gw, C) — step k is f warped through grids[0..k]. Keeping the
         steps as separate values (instead of stacking here) lets the caller
         fuse per-step epilogues (the (n-p)/n blend) into the stack write.
+
+        Fully unrolled Python loop rather than lax.scan: each iteration is
+        ~20 us of gather math on a (32, 32, 4096) map but cost ~68 us
+        inside a while loop, partial unrolling still paid
+        dynamic-update-slice buffer traffic for the stacked outputs, and T
+        is small and static (frame_delta - 2).
         """
         y = warp(f, grids[0])
         ys = [y]
@@ -198,11 +176,6 @@ class FlowInterpolator:
             y = warp(y, grids[k])
             ys.append(y)
         return ys
-
-    def _predict_chains(self, f, grids, resize=True, reverse=False):
-        """Single-map chain: (1, H, W, C) + (T, 1, gh, gw, 2) -> (T, ...)."""
-        return self._predict_chains_batched(f, grids, resize=resize,
-                                            reverse=reverse)[:, 0]
 
     def predict_clip(
         self,
