@@ -251,6 +251,7 @@ def test_unlabeled_list_keeps_full_labeled_set(tmp_path, synth_root):
     assert len(ds_u) > 0
 
 
+@pytest.mark.slow
 def test_after_fit_evaluates_best_checkpoint(tmp_path, synth_root):
     """restore_best loads the top-val checkpoint, not the final state
     (reference base/cli.py:169-187 uses best_model_path)."""

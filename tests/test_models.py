@@ -170,6 +170,7 @@ def test_torch_batch_norm_parity():
         jax.config.update("jax_enable_x64", old)
 
 
+@pytest.mark.slow
 def test_vit_rep_two_hop_resize_quirk():
     """The ViT rep map must pass through the reference's ACCIDENTAL
     intermediate resize to (num_tokens+1, d_model) before the final resize

@@ -45,6 +45,7 @@ def test_fold_bn_matches_eval_decode(pspnet_vars):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_int8_decode_tracks_f32(pspnet_vars):
     """int8 logits stay close to f32 logits; argmax maps barely move."""
     model, variables = pspnet_vars
@@ -254,6 +255,7 @@ def deeplab_vars():
     return model, variables
 
 
+@pytest.mark.slow
 def test_int8_deeplab_tracks_f32(deeplab_vars):
     """int8 DeepLabHead decode tracks the f32 decode; argmax maps barely
     move even on random near-uniform logits (the worst case)."""

@@ -167,6 +167,7 @@ def test_u2pl_semi_step_smoke():
     np.testing.assert_array_equal(t0, s0)
 
 
+@pytest.mark.slow
 def test_u2pl_true_ema_opt_in():
     """true_ema=True restores the real EMA the reference code appears to
     implement: after the boundary sync the teacher lags the student by the
