@@ -823,7 +823,8 @@ class Runner:
                 self.model, self.num_classes, cfg.model.ignore_index,
                 cfg.model.feature_based, cfg.model.no_warp))
         else:
-            crop_forward = make_crop_forward(self.model, self.num_classes)
+            crop_forward = make_crop_forward(self.model, self.num_classes,
+                                             mesh=self.mesh)
         for idx, list_name in enumerate(["test.txt", "test2.txt"]):
             path = self._list_path(list_name)
             if not os.path.exists(path):

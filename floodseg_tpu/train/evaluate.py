@@ -43,17 +43,24 @@ def crop_offsets(new_h: int, new_w: int, crop_h: int, crop_w: int,
     return offs
 
 
-def make_crop_forward(model, num_classes: int, flip: bool = True) -> Callable:
+def make_crop_forward(model, num_classes: int, flip: bool = True,
+                      mesh=None) -> Callable:
     """Jitted batched net_process: raw uint8-range crops -> softmax probs.
 
     Normalization (mean/std), optional horizontal flip averaging, bilinear
     up to crop size (align_corners=True) and softmax all run on device
     (foundation.py:299-330).
+
+    With ``mesh`` the crop batch is sharded over the mesh's leading ("data")
+    axis and the variables replicated, so sliding-window test inference
+    scales over chips (the reference evaluates on one GPU; this is TPU-side
+    headroom). Ragged crop batches are padded to a mesh multiple and the
+    padding rows dropped — numerically identical to the single-device path
+    (per-crop math has no cross-crop coupling in eval mode).
     """
     mean = jnp.asarray(MEAN, dtype=jnp.float32)
     std = jnp.asarray(STD, dtype=jnp.float32)
 
-    @jax.jit
     def crop_forward(variables, crops):
         x = (crops.astype(jnp.float32) - mean) / std
         if flip:
@@ -68,7 +75,28 @@ def make_crop_forward(model, num_classes: int, flip: bool = True) -> Callable:
             prob = (prob[:n] + prob[n:, :, ::-1, :]) / 2
         return prob
 
-    return crop_forward
+    if mesh is None:
+        return jax.jit(crop_forward)
+
+    from floodseg_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    jitted = jax.jit(
+        crop_forward,
+        in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+    n_dev = mesh.devices.size
+
+    def dp_crop_forward(variables, crops):
+        crops = jnp.asarray(crops)
+        n = crops.shape[0]
+        rem = (-n) % n_dev
+        if rem:
+            pad = jnp.broadcast_to(crops[-1:], (rem,) + crops.shape[1:])
+            crops = jnp.concatenate([crops, pad], axis=0)
+        return jitted(variables, crops)[:n]
+
+    return dp_crop_forward
 
 
 def sliding_window_predict(

@@ -163,3 +163,31 @@ def test_sharded_u2pl_semi_step_matches_single_device():
     t8 = jax.tree.leaves(s8.teacher_params)[0]
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t8),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dp_crop_forward_matches_single_device():
+    """Sliding-window test inference with the crop batch sharded over the
+    mesh (padding the ragged tail) is numerically identical to the
+    single-device crop forward through the full multi_scale_test path."""
+    from floodseg_tpu.models import build_model
+    from floodseg_tpu.train.evaluate import make_crop_forward, multi_scale_test
+
+    n = 8
+    mesh = create_mesh(("data",), devices=jax.devices()[:n])
+    model = build_model("pspnet", classes=5, layers=50, with_aux=False)
+    key = jax.random.PRNGKey(0)
+    vs = jax.jit(lambda: model.init(
+        {"params": key, "dropout": key}, jnp.zeros((1, 33, 33, 3)),
+        train=False))()
+    eval_vars = {"params": vs["params"], "batch_stats": vs["batch_stats"]}
+
+    rng = np.random.default_rng(3)
+    image = rng.uniform(0, 255, (41, 41, 3)).astype(np.float32)
+    kw = dict(num_classes=5, crop_h=33, crop_w=33, scales=(1.0, 0.75),
+              base_size=41)
+    pred_1 = multi_scale_test(make_crop_forward(model, 5), eval_vars,
+                              image, **kw)
+    pred_dp = multi_scale_test(make_crop_forward(model, 5, mesh=mesh),
+                               eval_vars, image, **kw)
+    np.testing.assert_array_equal(pred_1, pred_dp)
