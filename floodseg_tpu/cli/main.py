@@ -25,6 +25,10 @@ def build_parser():
     p.add_argument("--method", default=None,
                    help="supervised|gan|contrastive|flow_supervised|flow_gan")
     p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--torch_ckpt", default=None,
+                   help="import a reference Lightning .ckpt (or bare torch "
+                        "state_dict file) instead of --ckpt_path — "
+                        "validate/test/predict run on the converted weights")
     p.add_argument("--wandb", default=None)
     p.add_argument("--runid", default=None)
     p.add_argument("--tag", default=None)
@@ -121,7 +125,10 @@ def main(argv=None):
         return 0
 
     # validate / test / predict need a checkpoint
-    state = runner.load_for_eval(cfg.ckpt_path)
+    if args.torch_ckpt:
+        state = runner.load_torch_ckpt(args.torch_ckpt)
+    else:
+        state = runner.load_for_eval(cfg.ckpt_path)
     if args.subcommand == "validate":
         results = runner.validate(state)
         print("validate:", results)

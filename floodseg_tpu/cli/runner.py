@@ -727,6 +727,64 @@ class Runner:
         self._state = state
         return state
 
+    def load_torch_ckpt(self, path: str):
+        """Import a reference Lightning ``.ckpt`` (or bare state_dict file)
+        into a fresh state for this config's method — the bridge from a
+        reference-trained run to floodseg_tpu eval (test.sh/predict.sh
+        equivalents on reference weights). Covers all five methods:
+        generator/student params+BN stats, the s4GAN discriminator, and the
+        U2PL teacher (marked synced so eval serves it, contrastive.py:176-180).
+        """
+        from floodseg_tpu.models.lightning_import import (
+            graft_variables, load_torch_file,
+        )
+
+        state, _, eval_fn = self._build_states_and_steps(max_iter=1)
+        self._eval_fn = eval_fn
+        imported = load_torch_file(path)
+        if imported["arch"] != self.cfg.model.arch:
+            raise ValueError(
+                f"checkpoint is a {imported['arch']} model but the config "
+                f"says model.arch={self.cfg.model.arch!r}")
+        fam = imported["method_family"]
+        if fam.split("_")[0] not in self.cfg.method:
+            print(f"[import] note: checkpoint looks like {fam!r}, config "
+                  f"method is {self.cfg.method!r} — weights graft anyway",
+                  flush=True)
+        roles = imported["roles"]
+
+        def graft_into(st, var):
+            new = st.replace(params=graft_variables(st.params, var["params"]))
+            if "batch_stats" in var:
+                new = new.replace(batch_stats=graft_variables(
+                    st.batch_stats, var["batch_stats"]))
+            return new
+
+        if self.cfg.method in ("gan", "flow_gan"):
+            sg, sd_ = state
+            sg = graft_into(sg, roles["model"])
+            if "discriminator" in roles:
+                sd_ = sd_.replace(params=graft_variables(
+                    sd_.params, roles["discriminator"]["params"]))
+            state = (sg, sd_)
+        elif self.cfg.method == "contrastive":
+            state = state._replace(student=graft_into(state.student,
+                                                      roles["model"]))
+            if "teacher" in roles:
+                t = roles["teacher"]
+                state = state._replace(
+                    teacher_params=graft_variables(state.teacher_params,
+                                                   t["params"]),
+                    teacher_batch_stats=graft_variables(
+                        state.teacher_batch_stats, t.get("batch_stats", {})),
+                    teacher_synced=jnp.asarray(True))
+        else:
+            state = graft_into(state, roles["model"])
+        print(f"[import] loaded {fam} {imported['arch']} checkpoint "
+              f"(epoch {imported.get('epoch')}) from {path}", flush=True)
+        self._state = state
+        return state
+
     def _int8_decode(self) -> bool:
         """Resolve model.int8_decode (None = auto: pspnet/deeplabv3 decoder
         on an int8-MXU backend; 688 vs 526 and 864 vs 603 fps on one v5e).

@@ -1,0 +1,450 @@
+"""System-level mIoU parity: the torch reference vs floodseg_tpu, same data.
+
+The per-step f64 trajectory oracles (tests/test_*_trajectory.py) prove the
+mechanisms match; this script proves the SYSTEMS converge to the same place.
+Both sides train supervised PSPNet-50 from scratch on ONE synthetic dataset
+(identical files on disk) with identical hyperparameters, then report
+best-val / final-val / test-on-best mIoU side by side.
+
+The torch side runs the reference's OWN code imported from /root/reference —
+model (model/pspnet.py::PSPNetSemi), data (util/dataset.py::SemData,
+util/transform.py pipeline per base/foundation.py:401-434), loss
+(u2pl/utils/loss_helper.py::CriterionOhem), metrics/schedule
+(util/util.py). Only the Lightning driver shell is re-expressed here as a
+plain loop, with verbatim semantics:
+
+- manual optimization + poly LR stepped AFTER each optimizer step with
+  curr_iter = steps_per_epoch*epoch + batch_idx + 1 over
+  max_iter = steps_per_epoch*max_epochs (base/foundation.py:118-132);
+- SGD(momentum, weight_decay) with backbone@lr / heads@10lr param groups
+  (supervised.py:96-110, 242-251);
+- val each epoch = center-crop forward + argmax + intersectionAndUnion
+  meters, miou = mean(inter_sum/(union_sum+1e-10))
+  (base/foundation.py:150-172);
+- best checkpoint = max val_miou_epoch (base/cli.py:138-148), after-fit
+  test runs on it (base/cli.py:166-187);
+- test = multi-scale sliding-window inference with flip averaging
+  (base/foundation.py:177-330), reimplemented below for the CPU
+  (the reference's version lives inside the Lightning class).
+
+The floodseg_tpu side is the actual product CLI Runner on the same files.
+
+The two trajectories CANNOT match step-for-step (different aug RNG streams,
+different dropout masks, f32 chaos — see tests/test_train_trajectory.py), so
+the comparison is statistical: converged-quality mIoU on the same tiny
+dataset. Calibration across seeds is recorded in PARITY.md.
+
+Usage:
+  python scripts/verify_parity.py --seeds 1,2,3 --epochs 30 --out parity.json
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+for p in (REPO, REFERENCE):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+# ---------------------------------------------------------------------------
+# shared hyperparameters (== tests/test_convergence.py's calibrated fit)
+# ---------------------------------------------------------------------------
+CLASSES = 5
+LAYERS = 50
+CROP = 65            # round_train(65, "pspnet") == 65
+RESIZE = (96, 128)   # (h, w); the reference hardcodes (1072, 1920)
+SCALE = (0.8, 1.2)
+LR = 0.01
+MOMENTUM = 0.9
+WEIGHT_DECAY = 1e-4
+BATCH = 4
+OHEM_THRESH = 0.7
+OHEM_MIN_KEPT = 200
+AUX_WEIGHT = 0.4
+IGNORE = 255
+TEST_BASE_SIZE = 128
+TEST_SCALES = (1.0,)
+
+# ImageNet mean/std x255 (base/foundation.py:27-31)
+MEAN = [0.485 * 255, 0.456 * 255, 0.406 * 255]
+STD = [0.229 * 255, 0.224 * 255, 0.225 * 255]
+
+
+def _shim_reference_imports():
+    """py>=3.10 + no-skimage shims so /root/reference modules import."""
+    import collections
+    import collections.abc
+    import types
+
+    if not hasattr(collections, "Iterable"):
+        collections.Iterable = collections.abc.Iterable
+    if "skimage" not in sys.modules:
+        from PIL import Image
+
+        sk = types.ModuleType("skimage")
+        io_mod = types.ModuleType("skimage.io")
+        io_mod.imread = lambda path: np.asarray(Image.open(path))
+        meas = types.ModuleType("skimage.measure")
+        meas.label = lambda *a, **k: None
+        meas.regionprops = lambda *a, **k: []
+        sk.io = io_mod
+        sk.measure = meas
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = io_mod
+        sys.modules["skimage.measure"] = meas
+
+
+def _write_4field_lists(root: str, variant: str = "all") -> str:
+    """The reference's make_dataset asserts 4 space-separated fields
+    (flow/dataset.py:28) while the shipped/synthetic lists have 3 (SURVEY
+    'known quirks'). Write a `<variant>_ref` copy with a dummy 4th field so
+    the reference parser accepts the SAME underlying frames/masks."""
+    src = os.path.join(root, "list", variant)
+    dst = os.path.join(root, "list", variant + "_ref")
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        with open(os.path.join(src, name)) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        with open(os.path.join(dst, name), "w") as f:
+            for ln in lines:
+                f.write(ln + (" 0\n" if len(ln.split(" ")) == 3 else "\n"))
+    return dst
+
+
+# ---------------------------------------------------------------------------
+# torch reference run
+# ---------------------------------------------------------------------------
+
+def run_reference_supervised(root: str, seed: int, epochs: int,
+                             log=print) -> dict:
+    """Train/eval the reference stack (its own modules) on ``root``."""
+    _shim_reference_imports()
+    import torch
+    from torch.utils.data import DataLoader
+
+    import cv2
+    from types import SimpleNamespace
+
+    from model.pspnet import PSPNetSemi                  # reference
+    from u2pl.utils.loss_helper import CriterionOhem     # reference
+    from util import transform as T                      # reference
+    from util.dataset import SemData                     # reference
+    from util.util import (                              # reference
+        AverageMeter, intersectionAndUnion, poly_learning_rate,
+    )
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    import random as _random
+    _random.seed(seed)
+    torch.use_deterministic_algorithms(True)  # base/foundation.py:76
+
+    list_dir = _write_4field_lists(root)
+
+    # transform pipelines per BaseDataModule (base/foundation.py:401-434),
+    # with the resize parameterized like the build's (the reference
+    # hardcodes its dataset's (1072, 1920))
+    transform_train = T.Compose([
+        T.IgnoreClasses(None),
+        T.Resize(RESIZE),
+        T.RandScale(list(SCALE)),
+        T.RandRotate([-10, 10], padding=MEAN, ignore_label=IGNORE),
+        T.RandomGaussianBlur(),
+        T.RandomHorizontalFlip(),
+        T.Crop([CROP, CROP], crop_type="rand", padding=MEAN,
+               ignore_label=IGNORE),
+        T.ToTensor(),
+        T.Normalize(mean=MEAN, std=STD),
+    ])
+    transform_val = T.Compose([
+        T.IgnoreClasses(None),
+        T.Resize(RESIZE),
+        T.Crop([CROP, CROP], crop_type="center", padding=MEAN,
+               ignore_label=IGNORE),
+        T.ToTensor(),
+        T.Normalize(mean=MEAN, std=STD),
+    ])
+    # test: resize + ToTensor only; normalization happens inside net_process
+    transform_test = T.Compose([T.Resize(RESIZE), T.ToTensor()])
+
+    ds_train = SemData("train", root, os.path.join(list_dir, "train.txt"),
+                       transform_train)
+    ds_val = SemData("val", root, os.path.join(list_dir, "val.txt"),
+                     transform_val)
+    # test lists load with split='val' so labels are real
+    # (BaseDataModule.setup("test"), base/foundation.py:463-468)
+    ds_test = SemData("val", root, os.path.join(list_dir, "test.txt"),
+                      transform_test)
+
+    gen = torch.Generator().manual_seed(seed)
+    loader = DataLoader(ds_train, batch_size=BATCH, shuffle=True,
+                        num_workers=0, drop_last=True, generator=gen)
+    steps_per_epoch = len(loader)
+    max_iter = steps_per_epoch * epochs
+
+    hparams = SimpleNamespace(layers=LAYERS, classes=CLASSES,
+                              pretrained=False, semisupervised=False)
+    model, modules_head, modules_back = PSPNetSemi(hparams)
+    criterion = CriterionOhem(AUX_WEIGHT, thresh=OHEM_THRESH,
+                              min_kept=OHEM_MIN_KEPT, ignore_index=IGNORE)
+
+    # param groups: backbone@lr, heads@10lr (supervised.py:96-110)
+    groups = [{"params": m.parameters(), "lr": LR} for m in modules_back]
+    groups += [{"params": m.parameters(), "lr": LR * 10}
+               for m in modules_head]
+    n_back = len(modules_back)
+    opt = torch.optim.SGD(groups, lr=LR, momentum=MOMENTUM,
+                          weight_decay=WEIGHT_DECAY)
+
+    def val_miou() -> float:
+        model.eval()
+        inter_m, union_m = AverageMeter(), AverageMeter()
+        with torch.no_grad():
+            for i in range(len(ds_val)):
+                image, label = ds_val[i]
+                out = model(image.unsqueeze(0))["pred"]
+                pred = out.data.max(1)[1].numpy()
+                inter, union, _ = intersectionAndUnion(
+                    pred, label.unsqueeze(0).numpy(), CLASSES, IGNORE)
+                inter_m.update(inter), union_m.update(union)
+        return float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+
+    def net_process(image_crop: np.ndarray) -> np.ndarray:
+        """foundation.py:299-330: normalize, +flipped copy, forward,
+        bilinear-up (align_corners=True), softmax, flip-average."""
+        import torch.nn.functional as F
+
+        inp = torch.from_numpy(image_crop.transpose(2, 0, 1)).float()
+        for t, m, s in zip(inp, MEAN, STD):
+            t.sub_(m).div_(s)
+        inp = inp.unsqueeze(0)
+        inp = torch.cat([inp, inp.flip(3)], 0)
+        with torch.no_grad():
+            out = model(inp)["pred"]
+        if out.shape[-2:] != inp.shape[-2:]:
+            out = F.interpolate(out, inp.shape[-2:], mode="bilinear",
+                                align_corners=True)
+        out = F.softmax(out, dim=1)
+        out = (out[0] + out[1].flip(2)) / 2
+        return out.numpy().transpose(1, 2, 0)
+
+    def test_image(image_chw: "torch.Tensor") -> np.ndarray:
+        """foundation.py:177-295: multi-scale sliding-window prediction."""
+        image = image_chw.numpy().transpose(1, 2, 0)
+        h, w, _ = image.shape
+        prediction = np.zeros((h, w, CLASSES), dtype=float)
+        for scale in TEST_SCALES:
+            long_size = round(scale * TEST_BASE_SIZE)
+            new_h = new_w = long_size
+            if h > w:
+                new_w = round(long_size / float(h) * w)
+            else:
+                new_h = round(long_size / float(w) * h)
+            img_s = cv2.resize(image, (new_w, new_h),
+                               interpolation=cv2.INTER_LINEAR)
+            # compute_test_output_for_scales (foundation.py:264-295)
+            ori_h, ori_w, _ = img_s.shape
+            pad_h = max(CROP - ori_h, 0)
+            pad_w = max(CROP - ori_w, 0)
+            ph, pw = int(pad_h / 2), int(pad_w / 2)
+            if pad_h > 0 or pad_w > 0:
+                img_s = cv2.copyMakeBorder(img_s, ph, pad_h - ph, pw,
+                                           pad_w - pw, cv2.BORDER_CONSTANT,
+                                           value=MEAN)
+            nh, nw, _ = img_s.shape
+            stride = int(np.ceil(CROP * 2 / 3))
+            gh = int(np.ceil(float(nh - CROP) / stride) + 1)
+            gw = int(np.ceil(float(nw - CROP) / stride) + 1)
+            pred_c = np.zeros((nh, nw, CLASSES), dtype=float)
+            cnt = np.zeros((nh, nw), dtype=float)
+            for ih in range(gh):
+                for iw in range(gw):
+                    e_h = min(ih * stride + CROP, nh)
+                    s_h = e_h - CROP
+                    e_w = min(iw * stride + CROP, nw)
+                    s_w = e_w - CROP
+                    cnt[s_h:e_h, s_w:e_w] += 1
+                    pred_c[s_h:e_h, s_w:e_w] += net_process(
+                        img_s[s_h:e_h, s_w:e_w].copy())
+            pred_c /= np.expand_dims(cnt, 2)
+            pred_c = pred_c[ph:ph + ori_h, pw:pw + ori_w]
+            prediction += cv2.resize(pred_c, (w, h),
+                                     interpolation=cv2.INTER_LINEAR)
+        prediction /= len(TEST_SCALES)
+        return np.argmax(prediction, axis=2)
+
+    t0 = time.time()
+    best = {"val_miou": -1.0, "epoch": -1, "state": None}
+    last_val = 0.0
+    for epoch in range(epochs):
+        model.train()
+        for batch_idx, (image, label) in enumerate(loader):
+            outs = model(image)
+            loss = criterion([outs["pred"], outs["aux"]], label)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            # poly LR after the step; +1 indexing (foundation.py:118-132)
+            cur = poly_learning_rate(
+                LR, steps_per_epoch * epoch + batch_idx + 1, max_iter,
+                power=0.9)
+            for i, g in enumerate(opt.param_groups):
+                g["lr"] = cur * (10 if i >= n_back else 1)
+        last_val = val_miou()
+        if last_val > best["val_miou"]:
+            best.update(val_miou=last_val, epoch=epoch,
+                        state=copy.deepcopy(model.state_dict()))
+        log(f"[torch-ref seed={seed}] epoch {epoch}: "
+            f"val_miou={last_val:.4f} (best {best['val_miou']:.4f})")
+
+    # after-fit test on the BEST checkpoint (base/cli.py:166-187)
+    model.load_state_dict(best["state"])
+    model.eval()
+    inter_m, union_m = AverageMeter(), AverageMeter()
+    for i in range(len(ds_test)):
+        image, label = ds_test[i]
+        pred = test_image(image)
+        inter, union, _ = intersectionAndUnion(
+            pred, label.numpy(), CLASSES, IGNORE)
+        inter_m.update(inter), union_m.update(union)
+    test_miou = float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+    return {
+        "impl": "torch-reference",
+        "seed": seed,
+        "best_val_miou": best["val_miou"],
+        "best_epoch": best["epoch"],
+        "final_val_miou": last_val,
+        "test_miou1": test_miou,
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# floodseg_tpu run
+# ---------------------------------------------------------------------------
+
+def run_floodseg_supervised(root: str, seed: int, epochs: int,
+                            log_dir: str, log=print) -> dict:
+    """The actual product Runner, same files + hyperparameters."""
+    import yaml
+
+    from floodseg_tpu.cli.runner import Runner
+    from floodseg_tpu.core.config import load_config
+
+    cfg = {
+        "method": "supervised",
+        "trainer": {"max_epochs": epochs, "seed": seed, "log_dir": log_dir,
+                    "run_name": f"parity-s{seed}", "num_devices": 1,
+                    "early_stopping_patience": 10 ** 6},
+        "model": {"arch": "pspnet", "layers": LAYERS, "classes": CLASSES,
+                  "test_base_size": TEST_BASE_SIZE, "optim": {"lr": LR},
+                  "loss": {"min_kept": OHEM_MIN_KEPT}, "pretrained": False,
+                  "save_video": False, "save_images": False},
+        "data": {"data_root": root, "data_variant": "all",
+                 "batch_size": BATCH, "train_w": CROP, "workers": 2,
+                 "resize_h": RESIZE[0], "resize_w": RESIZE[1],
+                 "scale_min": SCALE[0], "scale_max": SCALE[1],
+                 "frame_delta": 5, "predict_v_id": "synth"},
+    }
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"parity-s{seed}.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    t0 = time.time()
+    runner = Runner(load_config([path], {}))
+    state = runner.fit()
+    best = float(runner.logger.summary.get("best_val_miou", 0.0))
+    state = runner.restore_best(state)
+    results = runner.test(state)
+    return {
+        "impl": "floodseg_tpu",
+        "seed": seed,
+        "best_val_miou": best,
+        "best_epoch": int(runner.logger.summary.get("best_epoch", -1)),
+        "test_miou1": float(results["test_miou1_epoch"]),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def make_dataset(root: str) -> str:
+    from floodseg_tpu.data.synthetic import generate_synthetic_dataset
+
+    return generate_synthetic_dataset(
+        root, num_frames=30, frame_delta=5, size=(96, 128), num_labeled=20)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--seeds", default="1", help="comma-separated seeds")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--out", default=None, help="write JSON here")
+    ap.add_argument("--workdir", default=None,
+                    help="reuse/keep a working dir (default: tmp)")
+    ap.add_argument("--side", choices=["both", "torch", "jax"],
+                    default="both")
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform for the floodseg side (default cpu: "
+                         "the torch reference runs on CPU here, so CPU-f32 "
+                         "vs CPU-f32 is the apples-to-apples comparison; "
+                         "pass tpu to measure the hardware regime)")
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        # must happen before first backend use; the axon site hook otherwise
+        # forces the tunneled-TPU platform for plain python scripts
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="parity_")
+    os.makedirs(workdir, exist_ok=True)
+    root = os.path.join(workdir, "data")
+    if not os.path.exists(os.path.join(root, "list")):
+        make_dataset(root)
+    print(f"dataset: {root}")
+
+    results = []
+    for seed in seeds:
+        if args.side in ("both", "jax"):
+            results.append(run_floodseg_supervised(
+                root, seed, args.epochs, os.path.join(workdir, "logs")))
+            print(json.dumps(results[-1]))
+        if args.side in ("both", "torch"):
+            results.append(run_reference_supervised(root, seed, args.epochs))
+            print(json.dumps(results[-1]))
+
+    summary = {"results": results}
+    by = {}
+    for r in results:
+        by.setdefault(r["impl"], []).append(r)
+    if len(by) == 2:
+        deltas = {}
+        for key in ("best_val_miou", "test_miou1"):
+            ours = np.mean([r[key] for r in by["floodseg_tpu"]])
+            ref = np.mean([r[key] for r in by["torch-reference"]])
+            deltas[key] = {"floodseg_tpu": round(float(ours), 4),
+                           "torch_reference": round(float(ref), 4),
+                           "delta": round(float(ours - ref), 4)}
+        summary["comparison"] = deltas
+        print(json.dumps({"comparison": deltas}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
