@@ -68,40 +68,11 @@ def main(argv=None):
 
     np.random.seed(cfg.trainer.seed)
 
-    import os
-    if os.environ.get("FLOODSEG_MULTIHOST"):
-        # multi-host TPU pods: one process per host, XLA collectives over
-        # ICI/DCN (replaces the reference's SLURM+NCCL rendezvous,
-        # u2pl/utils/dist_helper.py:10-43 — which likewise reads the
-        # cluster env and calls init_process_group). On TPU pods the
-        # coordinator auto-detects; FLOODSEG_COORDINATOR/NUM_PROCESSES/
-        # PROCESS_ID override for explicit rendezvous (the MASTER_ADDR/
-        # MASTER_PORT/RANK/WORLD_SIZE equivalents).
-        import jax
-        kw = {}
-        if os.environ.get("FLOODSEG_COORDINATOR"):
-            # Explicit rendezvous must be fully specified: defaulting a
-            # missing NUM_PROCESSES/PROCESS_ID to a 1-process topology
-            # would make every pod host train independently instead of
-            # failing loudly on a half-configured launch.
-            missing = [v for v in ("FLOODSEG_NUM_PROCESSES",
-                                   "FLOODSEG_PROCESS_ID")
-                       if os.environ.get(v) is None]
-            if missing:
-                raise RuntimeError(
-                    "FLOODSEG_COORDINATOR is set but "
-                    f"{', '.join(missing)} is not; explicit multihost "
-                    "rendezvous needs all three (MASTER_ADDR/WORLD_SIZE/"
-                    "RANK equivalents)")
-            kw = dict(
-                coordinator_address=os.environ["FLOODSEG_COORDINATOR"],
-                num_processes=int(os.environ["FLOODSEG_NUM_PROCESSES"]),
-                process_id=int(os.environ["FLOODSEG_PROCESS_ID"]),
-            )
-        jax.distributed.initialize(**kw)
-        print(f"[multihost] jax.distributed initialized: "
-              f"process {jax.process_index()}/{jax.process_count()}",
-              flush=True)
+    # multi-host TPU pods: one process per host, XLA collectives over
+    # ICI/DCN (replaces the reference's SLURM+NCCL rendezvous,
+    # u2pl/utils/dist_helper.py:10-43) — parallel/dist.py
+    from floodseg_tpu.parallel.dist import maybe_initialize_multihost
+    maybe_initialize_multihost()
     if cfg.trainer.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)

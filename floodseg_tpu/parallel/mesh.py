@@ -65,6 +65,32 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data",
     return out
 
 
+def shard_batch_local(batch: dict, mesh: Mesh, axis: str = "data",
+                      time_major_keys=("mvs_left", "mvs_right")) -> dict:
+    """Multi-host ``shard_batch``: each process passes its process-LOCAL
+    slice of the global batch (its own data loader's output, like each DDP
+    rank's DistributedSampler shard) and the pieces assemble into one global
+    jax.Array without any cross-host copy. Single-process this degenerates
+    to ``shard_batch`` semantics.
+    """
+    nproc = jax.process_count()
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if k in time_major_keys:
+            spec = P(None, axis)
+            gshape = (v.shape[0], v.shape[1] * nproc) + v.shape[2:]
+        elif v.ndim == 0:
+            spec = P()
+            gshape = ()
+        else:
+            spec = P(axis)
+            gshape = (v.shape[0] * nproc,) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), v, gshape)
+    return out
+
+
 def sharded_jit(fn: Callable, mesh: Mesh, batch_argnums=(1,),
                 donate_argnums=()) -> Callable:
     """jit ``fn`` for data parallelism over ``mesh``: every argument except
