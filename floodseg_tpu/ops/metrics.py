@@ -98,6 +98,34 @@ class MetricMeter:
             "acc_class": self.accuracy_per_class().tolist(),
         }
 
+    def summary_mmseg(self):
+        """mmseg ``mean_iou`` semantics (the vendored Segmenter's protocol:
+        reference segm/metrics.py:101-121 wrapping mmseg.core.mean_iou, then
+        np.nanmean): per-class IoU = intersect/union and Acc =
+        intersect/target are NaN where the denominator is zero, and the
+        means EXCLUDE those absent classes. The flood protocol above
+        (foundation.py:135-172) instead averages absent classes in as 0 —
+        the two disagree whenever the eval split misses a class, so the
+        segm side stack must report THIS one to be comparable with
+        published mmseg numbers."""
+        with np.errstate(invalid="ignore", divide="ignore"):
+            iou = np.where(self.union > 0,
+                           self.intersection / np.where(self.union > 0,
+                                                        self.union, 1.0),
+                           np.nan)
+            acc = np.where(self.target > 0,
+                           self.intersection / np.where(self.target > 0,
+                                                        self.target, 1.0),
+                           np.nan)
+        return {
+            "miou": float(np.nanmean(iou)) if np.any(self.union > 0) else 0.0,
+            "macc": float(np.nanmean(acc)) if np.any(self.target > 0) else 0.0,
+            "allacc": float(self.intersection.sum()
+                            / max(self.target.sum(), 1e-10)),
+            "iou_class": iou.tolist(),
+            "acc_class": acc.tolist(),
+        }
+
 
 class AverageMeter:
     """Scalar running average (reference util/util.py:10-24)."""

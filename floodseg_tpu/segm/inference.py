@@ -92,3 +92,40 @@ def sliding_inference(
         prob_sum = prob if prob_sum is None else prob_sum + prob
 
     return prob_sum / len(variants)
+
+
+def evaluate_dataset(
+    forward: Callable,
+    variables,
+    dataset,
+    num_classes: int,
+    window_size: int,
+    window_stride: int,
+    ignore_index: int = 255,
+    flip: bool = False,
+) -> dict:
+    """mmseg-protocol folder evaluation (reference segm/eval/miou.py +
+    segm/metrics.py:84-123): slide windows over each eval image, resize the
+    merged probability map back to the label's original resolution, score
+    with nanmean-over-present-classes IoU/Acc semantics.
+
+    ``dataset`` yields Samples with ``frame_current`` (resized, normalized)
+    and ``label`` (kept at original annotation resolution, e.g. via
+    ``build_eval_pipeline``). Returns ``MetricMeter.summary_mmseg()``.
+    """
+    from floodseg_tpu.ops.metrics import MetricMeter, intersection_and_union
+
+    meter = MetricMeter(num_classes)
+    erng = np.random.default_rng(0)
+    for i in range(len(dataset)):
+        s = dataset.get(i, erng)
+        prob = sliding_inference(
+            forward, variables, s["frame_current"], num_classes,
+            window_size, window_stride, ori_shape=tuple(s["label"].shape),
+            flip=flip)
+        pred = prob.argmax(-1)
+        inter, union, tgt = intersection_and_union(
+            jnp.asarray(pred), jnp.asarray(s["label"]), num_classes,
+            ignore_index)
+        meter.update(inter, union, tgt)
+    return meter.summary_mmseg()

@@ -16,7 +16,6 @@ import json
 import os
 import time
 
-import numpy as np
 
 
 def build_parser():
@@ -76,7 +75,6 @@ def main(argv=None):
     from floodseg_tpu.data.loader import DataLoader
     from floodseg_tpu.core.checkpoint import CheckpointManager
     from floodseg_tpu.models.vit import SegmenterViT
-    from floodseg_tpu.ops.metrics import MetricMeter, intersection_and_union
     from floodseg_tpu.parallel.mesh import (
         create_mesh, shard_batch, replicated_sharding, sharded_jit,
     )
@@ -84,7 +82,7 @@ def main(argv=None):
         SegFolderDataset, pascal_context_dataset,
         build_train_pipeline, build_eval_pipeline, IGNORE_LABEL,
     )
-    from floodseg_tpu.segm.inference import sliding_inference
+    from floodseg_tpu.segm.inference import evaluate_dataset
     from floodseg_tpu.segm.logger import MetricLogger
     from floodseg_tpu.train.optim import make_optimizer
     from floodseg_tpu.train.state import create_train_state
@@ -183,24 +181,14 @@ def main(argv=None):
         # key keeps un-evaluated models out of the top-k index / best_path
         metrics = {}
         if val_ds is not None and (epoch + 1) % args.eval_freq == 0:
-            meter = MetricMeter(args.n_cls)
-            erng = np.random.default_rng(0)
-            for i in range(len(val_ds)):
-                s = val_ds.get(i, erng)
-                variables = {"params": state.params,
-                             "batch_stats": state.batch_stats}
-                # mmseg protocol: the label stays at its original annotation
-                # resolution; the probability map is resized back to
-                # ori_shape before scoring (reference segm/eval/miou.py)
-                prob = sliding_inference(fwd, variables, s["frame_current"],
-                                         args.n_cls, window, stride,
-                                         ori_shape=tuple(s["label"].shape))
-                pred = prob.argmax(-1)
-                inter, union, tgt = intersection_and_union(
-                    jnp.asarray(pred), jnp.asarray(s["label"]), args.n_cls,
-                    IGNORE_LABEL)
-                meter.update(inter, union, tgt)
-            summ = meter.summary()
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            # mmseg protocol: labels stay at annotation resolution, probs
+            # resized back to ori_shape, nanmean over present classes
+            # (reference segm/eval/miou.py, segm/metrics.py:101-121)
+            summ = evaluate_dataset(fwd, variables, val_ds, args.n_cls,
+                                    window, stride,
+                                    ignore_index=IGNORE_LABEL)
             metrics["val_miou"] = summ["miou"]
             print(f"Eval [{epoch}]: mean_iou {summ['miou']:.4f} "
                   f"mean_acc {summ['macc']:.4f}", flush=True)

@@ -118,7 +118,9 @@ def main(argv=None):
         print(name, flush=True)
     print(f"wrote {len(names)} segmentations to {args.output_dir}")
     if meter is not None and meter.count > 0:
-        s = meter.summary()
+        # mmseg protocol: absent classes (zero union) are excluded from the
+        # class means, matching reference segm/metrics.py:101-121
+        s = meter.summary_mmseg()
         # a partial score must not read as a full-dataset one
         if n_matched < len(names):
             print(f"WARNING: only {n_matched}/{len(names)} images had a "
@@ -127,7 +129,9 @@ def main(argv=None):
         print(f"mean_iou {s['miou']:.4f} mean_acc {s['macc']:.4f} "
               f"overall_acc {s['allacc']:.4f} ({n_matched}/{len(names)} "
               f"images)")
-        print("iou_per_class", [round(float(v), 4) for v in s["iou_class"]])
+        print("iou_per_class",
+              [None if np.isnan(v) else round(float(v), 4)
+               for v in s["iou_class"]])
     return 0
 
 

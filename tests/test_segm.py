@@ -379,3 +379,145 @@ def test_sliding_inference_stride_beyond_window_no_nan():
                              window_stride=992)
     assert np.isfinite(prob).all()
     np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mmseg metric-protocol golden tests (reference segm/metrics.py:84-123 wraps
+# mmseg.core.mean_iou then np.nanmean: absent classes are EXCLUDED from the
+# class means, unlike the flood protocol which averages them in as 0)
+# ---------------------------------------------------------------------------
+
+def _mmseg_mean_iou_oracle(preds, gts, num_classes, ignore_index=255):
+    """Tiny numpy re-statement of mmseg.core.mean_iou semantics: accumulate
+    intersect/union/label histograms over the whole dataset, divide with
+    0/0 -> NaN, and nanmean over classes."""
+    inter = np.zeros(num_classes)
+    union = np.zeros(num_classes)
+    label = np.zeros(num_classes)
+    for p, g in zip(preds, gts):
+        p, g = p.reshape(-1), g.reshape(-1)
+        valid = g != ignore_index
+        p, g = p[valid], g[valid]
+        for c in range(num_classes):
+            i = np.sum((p == c) & (g == c))
+            inter[c] += i
+            union[c] += np.sum(p == c) + np.sum(g == c) - i
+            label[c] += np.sum(g == c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        iou = inter / union
+        acc = inter / label
+    return {
+        "miou": float(np.nanmean(iou)),
+        "macc": float(np.nanmean(acc)),
+        "allacc": float(inter.sum() / label.sum()),
+        "iou_class": iou,
+    }
+
+
+def test_summary_mmseg_matches_oracle_and_diverges_from_flood():
+    """Protocol pin: MetricMeter.summary_mmseg == the mmseg nanmean oracle
+    on random predictions with an absent class + ignore pixels, and the
+    flood-protocol summary() differs exactly by the absent-class dilution."""
+    from floodseg_tpu.ops.metrics import MetricMeter, intersection_and_union
+
+    rng = np.random.default_rng(7)
+    n_cls = 6  # classes 4,5 never appear in pred or gt -> union 0
+    meter = MetricMeter(n_cls)
+    preds, gts = [], []
+    for _ in range(3):
+        pred = rng.integers(0, 4, (17, 23)).astype(np.int32)
+        gt = rng.integers(0, 4, (17, 23)).astype(np.int32)
+        gt[rng.random((17, 23)) < 0.1] = 255
+        preds.append(pred), gts.append(gt)
+        i, u, t = intersection_and_union(jnp.asarray(pred), jnp.asarray(gt),
+                                         n_cls, 255)
+        meter.update(i, u, t)
+
+    oracle = _mmseg_mean_iou_oracle(preds, gts, n_cls)
+    s = meter.summary_mmseg()
+    assert s["miou"] == pytest.approx(oracle["miou"], abs=1e-12)
+    assert s["macc"] == pytest.approx(oracle["macc"], abs=1e-12)
+    assert s["allacc"] == pytest.approx(oracle["allacc"], abs=1e-12)
+    # absent classes reported NaN per class, excluded from the mean
+    assert np.isnan(s["iou_class"][4]) and np.isnan(s["iou_class"][5])
+    # the flood protocol (foundation.py:135-172) averages absent classes
+    # in as 0: same sums, different mean -- exactly a 4/6 dilution here
+    flood = meter.summary()
+    assert flood["miou"] == pytest.approx(s["miou"] * 4 / 6, rel=1e-9)
+
+
+def test_segm_eval_protocol_golden(tmp_path):
+    """End-to-end eval-protocol golden: SegFolderDataset + build_eval_pipeline
+    (short-side image resize, label kept at ori resolution) + sliding windows
+    + ori-shape scoring, against a hand-computed mIoU.
+
+    The 'model' ignores its input and always predicts class 1, so the
+    prediction survives every resize exactly and the metric is computable by
+    hand from the label histogram alone:
+      IoU_1 = n1 / n_valid, IoU_{0,2,3} = 0, class 4 absent -> NaN-excluded
+      mIoU  = (n1 / n_valid) / 4, mAcc = 1/4, allAcc = n1 / n_valid
+    Pins the protocol of reference segm/eval/miou.py + segm/metrics.py.
+    """
+    from floodseg_tpu.segm.data import SegFolderDataset, build_eval_pipeline
+    from floodseg_tpu.segm.inference import evaluate_dataset
+
+    img_dir, ann_dir = tmp_path / "img", tmp_path / "ann"
+    img_dir.mkdir(), ann_dir.mkdir()
+    rng = np.random.default_rng(3)
+    n1 = nv = 0
+    for i in range(2):
+        # non-square, differing ori sizes: exercises the short-side resize
+        # (image -> 32-short-side) and the prob resize back to ori_shape
+        h, w = (40, 72) if i == 0 else (56, 44)
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        lab = rng.integers(0, 4, (h, w)).astype(np.uint8)  # class 4 absent
+        lab[rng.random((h, w)) < 0.05] = 255
+        Image.fromarray(img).save(img_dir / f"f{i}.jpg")
+        Image.fromarray(lab).save(ann_dir / f"f{i}.png")
+        n1 += int(np.sum(lab == 1))
+        nv += int(np.sum(lab != 255))
+
+    ds = SegFolderDataset(str(img_dir), str(ann_dir),
+                          transform=build_eval_pipeline(32))
+    # label must be untouched by the eval pipeline (ori resolution)
+    s0 = ds.get(0, np.random.default_rng(0))
+    assert s0["label"].shape == (40, 72)
+    assert s0["frame_current"].shape[0] == 32  # short side resized
+
+    def fwd(variables, crops):
+        logits = jnp.zeros(crops.shape[:3] + (5,))
+        return logits.at[..., 1].set(5.0)
+
+    summ = evaluate_dataset(fwd, None, ds, num_classes=5,
+                            window_size=32, window_stride=16)
+    assert summ["miou"] == pytest.approx((n1 / nv) / 4, abs=1e-9)
+    assert summ["macc"] == pytest.approx(1 / 4, abs=1e-9)
+    assert summ["allacc"] == pytest.approx(n1 / nv, abs=1e-9)
+    assert np.isnan(summ["iou_class"][4])
+
+
+def test_segm_inference_cli_ann_dir(tmp_path, capsys):
+    """Drive scripts/segm_inference.py end-to-end with --ann-dir: writes one
+    blended segmentation per image and reports mmseg-protocol metrics
+    (absent classes print as None, means exclude them)."""
+    import importlib
+
+    mod = importlib.import_module("scripts.segm_inference")
+    img_dir, ann_dir, out_dir = tmp_path / "i", tmp_path / "a", tmp_path / "o"
+    img_dir.mkdir(), ann_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+                        ).save(img_dir / f"x{i}.jpg")
+        Image.fromarray(rng.integers(0, 3, (40, 56)).astype(np.uint8)
+                        ).save(ann_dir / f"x{i}.png")
+    rc = mod.main([
+        "--ckpt", "-", "-i", str(img_dir), "-o", str(out_dir),
+        "--n-cls", "5", "--image-size", "32", "--patch-size", "8",
+        "--d-model", "64", "--n-layers", "1", "--dec-layers", "1",
+        "--ann-dir", str(ann_dir),
+    ])
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["x0.jpg", "x1.jpg"]
+    out = capsys.readouterr().out
+    assert "mean_iou" in out and "(2/2 images)" in out
