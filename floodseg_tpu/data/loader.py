@@ -14,6 +14,7 @@ workers).
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
@@ -89,26 +90,54 @@ class DataLoader:
                     continue
             return False
 
+        def schedule():
+            epoch = start_epoch
+            while True:
+                for bidx in self._batches(epoch):
+                    yield epoch, bidx
+                if not self.infinite:
+                    return
+                epoch += 1
+
         def producer():
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            # Item loads are submitted ACROSS upcoming batches, not just
+            # within one: at batch_size=1 (the streaming predict path) a
+            # within-batch-only pool degenerates to fully serial decode,
+            # capping the stream at 1/get() regardless of workers. Keep
+            # enough batches in flight to occupy every worker, plus the
+            # prefetch margin. Collate + device_put stay in THIS single
+            # thread: transfers through the tunneled runtime serialize
+            # anyway (concurrent device_puts measured slower than serial),
+            # and ordered delivery falls out for free.
+            lookahead = (-(-self.num_workers // self.batch_size)
+                         + max(self.prefetch, 1))
+            pending: deque = deque()
+            sched = schedule()
             try:
-                epoch = start_epoch
                 while not stop.is_set():
-                    for bidx in self._batches(epoch):
-                        if stop.is_set():
-                            return
-                        items = list(pool.map(lambda i: load_item(epoch, i), bidx))
-                        batch = collate(items)
-                        if self.device_put is not None:
-                            batch = self.device_put(batch)
-                        if not put(batch):
-                            return
-                    if not self.infinite:
+                    while len(pending) < lookahead:
+                        nxt = next(sched, None)
+                        if nxt is None:
+                            break
+                        epoch, bidx = nxt
+                        pending.append(
+                            [pool.submit(load_item, epoch, int(i))
+                             for i in bidx])
+                    if not pending:
                         break
-                    epoch += 1
+                    items = [f.result() for f in pending.popleft()]
+                    batch = collate(items)
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # surface errors to the consumer
                 put(("__error__", e))
             finally:
+                for futs in pending:
+                    for f in futs:
+                        f.cancel()
                 put(None)
                 pool.shutdown(wait=False)
 
