@@ -395,6 +395,21 @@ def main():
                     help="reuse/keep a working dir (default: tmp)")
     ap.add_argument("--side", choices=["both", "torch", "jax"],
                     default="both")
+    ap.add_argument("--gate", default=None, metavar="MARGIN",
+                    help="exit nonzero unless floodseg_tpu's mean "
+                         "best-val/test mIoU >= the torch reference's mean "
+                         "minus MARGIN (requires --side both). Either one "
+                         "float for all metrics or per-metric "
+                         "'best_val_miou=0.19,test_miou1=0.31'. Calibration "
+                         "(PARITY_r04.json, 5 jax + 8 torch seeds, 30 "
+                         "epochs): floodseg 0.492/0.466 vs torch "
+                         "0.343/0.316 — floodseg's WORST seed beats the "
+                         "torch mean. Single-seed margins must absorb BOTH "
+                         "seed spreads: the delta's std is "
+                         "sqrt(std_t^2 + std_j^2) = 0.092 (val) / 0.153 "
+                         "(test), so ~2-sigma single-seed margins are "
+                         "0.19 / 0.31; gate tighter only with >=3 seeds "
+                         "per side.")
     ap.add_argument("--platform", default="cpu",
                     help="JAX platform for the floodseg side (default cpu: "
                          "the torch reference runs on CPU here, so CPU-f32 "
@@ -444,6 +459,24 @@ def main():
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
         print(f"wrote {args.out}")
+    if args.gate is not None:
+        if "comparison" not in summary:
+            raise SystemExit("--gate needs both sides (--side both)")
+        if "=" in args.gate:
+            margins = dict(kv.split("=") for kv in args.gate.split(","))
+            margins = {k: float(v) for k, v in margins.items()}
+        else:
+            margins = {k: float(args.gate) for k in summary["comparison"]}
+        failed = [
+            k for k, d in summary["comparison"].items()
+            if k in margins
+            and d["floodseg_tpu"] < d["torch_reference"] - margins[k]
+        ]
+        if failed:
+            raise SystemExit(
+                f"PARITY GATE FAILED (margins {margins}): {failed} — "
+                f"{summary['comparison']}")
+        print(f"parity gate passed (margins {margins})")
 
 
 if __name__ == "__main__":

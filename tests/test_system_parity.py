@@ -1,0 +1,50 @@
+"""System-level convergence parity: the torch reference vs floodseg_tpu.
+
+The per-step f64 trajectory oracles (test_*_trajectory.py) prove each
+mechanism matches; this gate proves the SYSTEMS converge to the same place.
+It runs scripts/verify_parity.py end-to-end — the reference's own modules
+(model/pspnet.py, util/dataset.py, u2pl loss_helper, util/util.py metrics)
+against the floodseg_tpu CLI Runner on the same synthetic dataset files —
+and gates the converged mIoU.
+
+Calibration (PARITY_r04.json, 5 jax + 8 torch seeds, 30 epochs):
+floodseg_tpu best-val 0.492±0.044 vs torch 0.343±0.080 — floodseg's WORST
+seed (0.405) beats the torch mean. A single-seed gate must absorb BOTH seed
+spreads: the delta's std is sqrt(std_t^2 + std_j^2) = 0.092 (best-val) /
+0.153 (test mIoU — torch alone spans 0.155-0.536 across 8 seeds), so the
+margins here are ~2 sigma: 0.19 / 0.31. The tighter regression tripwire is
+the ABSOLUTE floor on the floodseg side (every calibrated jax seed reached
+>= 0.405 best-val / 0.34 test); see PARITY.md 'System-level convergence
+parity'.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_system_parity_supervised(tmp_path):
+    out = tmp_path / "parity.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # single CPU device is the calibrated setup
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_parity.py"),
+         "--seeds", "1", "--epochs", "30", "--out", str(out),
+         "--workdir", str(tmp_path / "w"),
+         "--gate", "best_val_miou=0.19,test_miou1=0.31"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "parity gate passed" in proc.stdout
+    summary = json.loads(out.read_text())
+    ours = {r["impl"]: r for r in summary["results"]}["floodseg_tpu"]
+    # absolute floor from calibration: every jax seed reached >= 0.405
+    # best-val; 0.34 test. Guards against a silent regression even when
+    # the live torch seed lands in its stuck basin.
+    assert ours["best_val_miou"] >= 0.38
+    assert ours["test_miou1"] >= 0.30
