@@ -4,10 +4,14 @@ The reference wraps mmseg datasets (ADE20k / Cityscapes / Pascal-Context,
 segm/data/*.py) behind mmcv pipelines. TPU redesign: one generic
 ``SegFolderDataset`` over the common on-disk convention — an image directory
 plus an annotation directory with matching stems — driven by the SAME
-host-side transform pipeline the main project uses (dict Samples,
-explicit np.random.Generator). The mmseg train pipeline (resize by ratio
-0.5-2.0, crop, hflip, normalize, pad-with-ignore) maps 1:1 onto
-RandScale/Crop/RandomHorizontalFlip/Normalize.
+host-side transform pipeline style the main project uses (dict Samples,
+explicit np.random.Generator). ``segm_dataset`` is the named registry
+(segm/data/factory.py parity): each preset wires its standard layout,
+n_cls / names / palette metadata (segm/catalog.py), and the FAITHFUL mmseg
+train/eval pipeline (segm/pipeline.py — ratio-range keep-ratio resize,
+cat_max_ratio crop, PhotoMetricDistortion, pad-with-ignore).
+``build_train_pipeline`` below is the simpler flood-style approximation
+kept for ad-hoc --img-dir/--ann-dir folder runs.
 
 ADE20k's layout (images/training + annotations/training, labels 1..150 with
 0=unlabeled) is an instance: pass ``reduce_zero_label=True`` and the labels
@@ -176,17 +180,27 @@ class SegFolderDataset:
     def __init__(self, img_dir: str, ann_dir: str,
                  img_suffix: str = ".jpg", ann_suffix: str = ".png",
                  transform: Optional[Callable] = None,
-                 reduce_zero_label: bool = False):
+                 reduce_zero_label: bool = False,
+                 recursive: bool = False):
         self.img_dir = img_dir
         self.ann_dir = ann_dir
         self.img_suffix = img_suffix
         self.ann_suffix = ann_suffix
         self.transform = transform
         self.reduce_zero_label = reduce_zero_label
-        stems = sorted(
-            f[: -len(img_suffix)] for f in os.listdir(img_dir)
-            if f.endswith(img_suffix)
-        )
+        if recursive:
+            # nested layouts (Cityscapes' per-city subdirectories,
+            # leftImg8bit/<split>/<city>/*_leftImg8bit.png mirrored under
+            # gtFine): stems carry the relative subpath
+            stems = sorted(
+                os.path.relpath(os.path.join(d, f), img_dir)[:-len(img_suffix)]
+                for d, _, fs in os.walk(img_dir)
+                for f in fs if f.endswith(img_suffix))
+        else:
+            stems = sorted(
+                f[: -len(img_suffix)] for f in os.listdir(img_dir)
+                if f.endswith(img_suffix)
+            )
         self.items: List[str] = [
             s for s in stems
             if os.path.exists(os.path.join(ann_dir, s + ann_suffix))
@@ -241,6 +255,78 @@ class SegListDataset(SegFolderDataset):
         if not self.items:
             raise FileNotFoundError(
                 f"no annotated stems from {split_file} under {ann_dir}")
+
+
+def segm_dataset(name: str, root: str, split: str = "train",
+                 image_size: int = 512, crop_size: int = 512,
+                 normalization: str = "vit"):
+    """Named-dataset factory mirroring the reference's registry
+    (segm/data/factory.py + segm/data/{ade20k,cityscapes,pascal_context}.py):
+    returns a dataset wired with the faithful mmseg train/eval pipeline and
+    carrying n_cls / names / palette / max_ratio metadata.
+
+    Layouts (the standard public ones the reference's configs point at):
+      ade20k:         root/images/{training,validation} +
+                      root/annotations/{...}; labels 1..150, 0=unlabeled ->
+                      reduce_zero_label; max_ratio 4
+      cityscapes:     root/leftImg8bit/<split>/<city>/*_leftImg8bit.png +
+                      root/gtFine/<split>/<city>/*_gtFine_labelTrainIds.png;
+                      19 train classes; max_ratio 2 (2048x1024 frames)
+      pascal_context: root/VOCdevkit/VOC2010 (VOC-style split lists);
+                      60 classes; max_ratio 3 (the reference's 480x480
+                      config uses unpadded ~1.6 aspect; 3 covers it)
+    """
+    from floodseg_tpu.segm import catalog
+    from floodseg_tpu.segm.pipeline import (
+        build_mmseg_train_pipeline, build_mmseg_eval_pipeline,
+    )
+
+    presets = {
+        "ade20k": dict(n_cls=150, max_ratio=4, reduce_zero_label=True,
+                       names=catalog.ADE20K_NAMES,
+                       palette=catalog.ADE20K_PALETTE),
+        "cityscapes": dict(n_cls=19, max_ratio=2, reduce_zero_label=False,
+                           names=catalog.CITYSCAPES_NAMES,
+                           palette=catalog.CITYSCAPES_PALETTE),
+        "pascal_context": dict(n_cls=60, max_ratio=3,
+                               reduce_zero_label=False,
+                               names=catalog.PASCAL_CONTEXT_NAMES,
+                               palette=catalog.PASCAL_CONTEXT_PALETTE),
+    }
+    if name not in presets:
+        raise ValueError(f"unknown dataset {name!r}; have {sorted(presets)}")
+    meta = presets[name]
+    if split == "train":
+        tf = build_mmseg_train_pipeline(image_size, crop_size,
+                                        max_ratio=meta["max_ratio"],
+                                        normalization=normalization)
+    else:
+        tf = build_mmseg_eval_pipeline(image_size,
+                                       max_ratio=meta["max_ratio"],
+                                       normalization=normalization)
+
+    if name == "ade20k":
+        sub = {"train": "training", "val": "validation"}.get(split, split)
+        ds = SegFolderDataset(
+            os.path.join(root, "images", sub),
+            os.path.join(root, "annotations", sub),
+            img_suffix=".jpg", ann_suffix=".png", transform=tf,
+            reduce_zero_label=True)
+    elif name == "cityscapes":
+        ds = SegFolderDataset(
+            os.path.join(root, "leftImg8bit", split),
+            os.path.join(root, "gtFine", split),
+            img_suffix="_leftImg8bit.png",
+            ann_suffix="_gtFine_labelTrainIds.png",
+            transform=tf, recursive=True)
+    else:
+        ds = pascal_context_dataset(root, split=split, transform=tf)
+    ds.n_cls = meta["n_cls"]
+    ds.ignore_label = IGNORE_LABEL
+    ds.names = meta["names"]
+    ds.palette = meta["palette"]
+    ds.max_ratio = meta["max_ratio"]
+    return ds
 
 
 def pascal_context_dataset(root: str, split: str = "train",

@@ -30,6 +30,23 @@ def build_parser():
                         "(train+val splits, 60 classes) instead of "
                         "--img-dir/--ann-dir folders — the reference's "
                         "dataset-by-name selection (segm/data/factory.py)")
+    p.add_argument("--dataset", default=None,
+                   choices=["ade20k", "cityscapes", "pascal_context"],
+                   help="named dataset with the faithful mmseg pipeline "
+                        "(ratio-range keep-ratio resize, cat_max_ratio "
+                        "crop, PhotoMetricDistortion, pad-with-ignore) and "
+                        "its standard n_cls/palette/max_ratio — the full "
+                        "reference registry (segm/data/factory.py); "
+                        "requires --data-root")
+    p.add_argument("--data-root", default=None,
+                   help="dataset root for --dataset (ade20k: the "
+                        "ADEChallengeData2016 dir; cityscapes: the dir "
+                        "holding leftImg8bit/gtFine; pascal_context: the "
+                        "dir holding VOCdevkit)")
+    p.add_argument("--normalization", default="vit",
+                   choices=["vit", "deit"],
+                   help="normalization stats pair (segm/data/utils.py "
+                        "STATS), used by --dataset pipelines")
     p.add_argument("--img-suffix", default=".jpg")
     p.add_argument("--ann-suffix", default=".png")
     p.add_argument("--reduce-zero-label", action="store_true",
@@ -79,7 +96,7 @@ def main(argv=None):
         create_mesh, shard_batch, replicated_sharding, sharded_jit,
     )
     from floodseg_tpu.segm.data import (
-        SegFolderDataset, pascal_context_dataset,
+        SegFolderDataset, pascal_context_dataset, segm_dataset,
         build_train_pipeline, build_eval_pipeline, IGNORE_LABEL,
     )
     from floodseg_tpu.segm.inference import evaluate_dataset
@@ -93,7 +110,15 @@ def main(argv=None):
     mesh = create_mesh(devices=jax.devices()[:n_dev]) if n_dev > 1 else None
     global_batch = args.batch_size * (n_dev if mesh is not None else 1)
 
-    if args.pascal_context:
+    if args.dataset:
+        if not args.data_root:
+            raise SystemExit("--dataset requires --data-root")
+        train_ds = segm_dataset(args.dataset, args.data_root, "train",
+                                image_size=args.im_size, crop_size=crop,
+                                normalization=args.normalization)
+        if args.n_cls is None:
+            args.n_cls = train_ds.n_cls
+    elif args.pascal_context:
         if args.n_cls is None:
             args.n_cls = 60
         train_ds = pascal_context_dataset(
@@ -107,7 +132,9 @@ def main(argv=None):
             transform=build_train_pipeline(args.im_size, crop),
             reduce_zero_label=args.reduce_zero_label)
     else:
-        raise SystemExit("pass --img-dir/--ann-dir or --pascal-context")
+        raise SystemExit(
+            "pass --dataset+--data-root, --img-dir/--ann-dir, "
+            "or --pascal-context")
     if global_batch > len(train_ds):
         raise SystemExit(
             f"global batch {global_batch} ({args.batch_size} x {n_dev} "
@@ -151,7 +178,11 @@ def main(argv=None):
         state = jax.device_put(state, replicated_sharding(mesh))
 
     val_ds = None
-    if args.pascal_context:
+    if args.dataset:
+        val_ds = segm_dataset(args.dataset, args.data_root, "val",
+                              image_size=args.im_size, crop_size=crop,
+                              normalization=args.normalization)
+    elif args.pascal_context:
         val_ds = pascal_context_dataset(
             args.pascal_context, "val",
             transform=build_eval_pipeline(args.im_size))

@@ -521,3 +521,203 @@ def test_segm_inference_cli_ann_dir(tmp_path, capsys):
     assert sorted(os.listdir(out_dir)) == ["x0.jpg", "x1.jpg"]
     out = capsys.readouterr().out
     assert "mean_iou" in out and "(2/2 images)" in out
+
+
+# ---------------------------------------------------------------------------
+# mmseg pipeline-op semantics (reference segm/data/base.py configures mmcv's
+# Resize/RandomCrop/PhotoMetricDistortion/Pad; the ops here restate those
+# semantics natively and these tests pin them)
+# ---------------------------------------------------------------------------
+
+def test_ratio_range_resize_keep_ratio_semantics():
+    """mmcv.imrescale sizing: factor = min(max_scale/long, min_scale/short),
+    rounded as int(dim*f + 0.5); label resized nearest alongside."""
+    from floodseg_tpu.segm.pipeline import RatioRangeResize
+
+    op = RatioRangeResize((2048, 512), ratio_range=(1.0, 1.0))  # fixed ratio
+    im = np.zeros((400, 600, 3), np.float32)
+    lab = np.arange(400 * 600).reshape(400, 600).astype(np.int32) % 7
+    s = op({"frame_current": im, "label": lab}, np.random.default_rng(0))
+    # factor = min(2048/600, 512/400) = 1.28 -> (512, 768)
+    assert s["frame_current"].shape == (512, 768, 3)
+    assert s["label"].shape == (512, 768)
+    # long-edge-capped case: very wide image
+    im = np.zeros((100, 5000, 3), np.float32)
+    s = op({"frame_current": im}, np.random.default_rng(0))
+    # factor = min(2048/5000, 512/100) = 0.4096 -> (41, 2048)
+    assert s["frame_current"].shape == (41, 2048, 3)
+
+
+def test_ratio_range_resize_draws_ratio():
+    from floodseg_tpu.segm.pipeline import RatioRangeResize
+
+    op = RatioRangeResize((512, 512), ratio_range=(0.5, 2.0))
+    im = np.zeros((512, 512, 3), np.float32)
+    sizes = {op({"frame_current": im.copy()},
+                np.random.default_rng(i))["frame_current"].shape[0]
+             for i in range(12)}
+    assert len(sizes) > 4  # ratio actually varies
+    assert all(254 <= h <= 1024 for h in sizes)  # int(512*r) bounds
+
+
+def test_random_crop_cat_max_ratio():
+    """A label that is 90% class 0 except one diverse corner: with
+    cat_max_ratio=0.75 the accepted crop must be the diverse one whenever
+    one exists within 10 draws; crops never exceed the image."""
+    from floodseg_tpu.segm.pipeline import RandomCropCatMax
+
+    lab = np.zeros((64, 64), np.int32)
+    lab[:32, :32] = np.arange(32 * 32).reshape(32, 32) % 4  # diverse quadrant
+    im = np.zeros((64, 64, 3), np.float32)
+    op = RandomCropCatMax((32, 32), cat_max_ratio=0.75)
+    hits = 0
+    for seed in range(20):
+        s = op({"frame_current": im.copy(), "label": lab.copy()},
+               np.random.default_rng(seed))
+        assert s["label"].shape == (32, 32)
+        cls, cnt = np.unique(s["label"], return_counts=True)
+        if cnt.max() / cnt.sum() < 0.75:
+            hits += 1
+    assert hits >= 15  # the retry loop steers towards diverse crops
+
+    # smaller-than-crop image: offsets clamp to 0, crop = whole image
+    s = op({"frame_current": np.zeros((16, 16, 3), np.float32),
+            "label": np.zeros((16, 16), np.int32)},
+           np.random.default_rng(0))
+    assert s["label"].shape == (16, 16)
+
+
+def test_photometric_distortion_bounds_and_identity():
+    from floodseg_tpu.segm.pipeline import PhotoMetricDistortion
+
+    im = np.random.default_rng(0).uniform(0, 255, (40, 40, 3)).astype(
+        np.float32)
+    op = PhotoMetricDistortion()
+    outs = []
+    for seed in range(16):
+        out = op({"frame_current": im.copy()},
+                 np.random.default_rng(seed))["frame_current"]
+        assert out.dtype == np.float32
+        assert out.min() >= 0 and out.max() <= 255
+        assert out.shape == im.shape
+        outs.append(out)
+    # distortions vary across seeds and some seed draws all-skip coins
+    # (probability (1/2)^5 per seed; just require variation)
+    assert any(not np.allclose(outs[0], o) for o in outs[1:])
+    # label untouched
+    s = op({"frame_current": im.copy(), "label": np.ones((40, 40))},
+           np.random.default_rng(1))
+    assert np.all(s["label"] == 1)
+
+
+def test_pad_to_size_values():
+    from floodseg_tpu.segm.pipeline import PadToSize
+
+    op = PadToSize((32, 32), pad_val=0, seg_pad_val=255)
+    s = op({"frame_current": np.ones((20, 24, 3), np.float32),
+            "label": np.ones((20, 24), np.int32)},
+           np.random.default_rng(0))
+    assert s["frame_current"].shape == (32, 32, 3)
+    assert s["label"].shape == (32, 32)
+    assert np.all(s["frame_current"][20:] == 0)
+    assert np.all(s["label"][20:] == 255)
+    assert np.all(s["label"][:20, 24:] == 255)
+    # no-op on larger inputs
+    big = np.ones((40, 40, 3), np.float32)
+    assert op({"frame_current": big}, np.random.default_rng(0))[
+        "frame_current"].shape == (40, 40, 3)
+
+
+def test_mmseg_train_pipeline_end_to_end():
+    """Composed pipeline yields a crop-sized normalized image + label with
+    ignore padding where the scaled image undershoots the crop."""
+    from floodseg_tpu.segm.pipeline import build_mmseg_train_pipeline
+
+    tf = build_mmseg_train_pipeline(image_size=64, crop_size=64, max_ratio=2,
+                                    normalization="vit")
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 255, (48, 80, 3)).astype(np.float32)
+    lab = rng.integers(0, 5, (48, 80)).astype(np.int32)
+    for seed in range(6):
+        s = tf({"frame_current": im.copy(), "label": lab.copy()},
+               np.random.default_rng(seed))
+        assert s["frame_current"].shape == (64, 64, 3)
+        assert s["label"].shape == (64, 64)
+        vals = np.unique(s["label"])
+        assert set(vals.tolist()) <= set(range(5)) | {255}
+
+
+def test_segm_dataset_presets(tmp_path):
+    """segm_dataset wires layout + metadata per preset: ADE20k's
+    reduce_zero_label folder layout and Cityscapes' recursive per-city
+    suffix convention both resolve; n_cls/palette metadata attached."""
+    from floodseg_tpu.segm.data import segm_dataset
+
+    rng = np.random.default_rng(0)
+    # ADE20k layout
+    ade = tmp_path / "ade"
+    for sub in ("training", "validation"):
+        (ade / "images" / sub).mkdir(parents=True)
+        (ade / "annotations" / sub).mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+                            ).save(ade / "images" / sub / f"x{i}.jpg")
+            Image.fromarray(rng.integers(0, 10, (40, 56)).astype(np.uint8)
+                            ).save(ade / "annotations" / sub / f"x{i}.png")
+    ds = segm_dataset("ade20k", str(ade), "train", image_size=32,
+                      crop_size=32)
+    assert ds.n_cls == 150 and len(ds.palette) == 150 and len(ds) == 2
+    s = ds.get(0, rng)
+    assert s["frame_current"].shape == (32, 32, 3)
+    # reduce_zero_label: raw 0 -> 255, raw k -> k-1
+    assert set(np.unique(s["label"]).tolist()) <= set(range(9)) | {255}
+    val = segm_dataset("ade20k", str(ade), "val", image_size=32)
+    sv = val.get(0, rng)
+    assert sv["label"].shape == (40, 56)  # ori resolution for eval
+
+    # Cityscapes layout (nested city dirs, trainId labels)
+    cs = tmp_path / "cs"
+    for city in ("aaa", "bbb"):
+        (cs / "leftImg8bit" / "train" / city).mkdir(parents=True)
+        (cs / "gtFine" / "train" / city).mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+                        ).save(cs / "leftImg8bit" / "train" / city /
+                               f"{city}_000000_leftImg8bit.png")
+        Image.fromarray(rng.integers(0, 19, (40, 56)).astype(np.uint8)
+                        ).save(cs / "gtFine" / "train" / city /
+                               f"{city}_000000_gtFine_labelTrainIds.png")
+    ds = segm_dataset("cityscapes", str(cs), "train", image_size=32,
+                      crop_size=32)
+    assert ds.n_cls == 19 and len(ds) == 2 and ds.max_ratio == 2
+    s = ds.get(1, rng)
+    assert s["frame_current"].shape == (32, 32, 3)
+
+
+@pytest.mark.slow
+def test_segm_train_cli_dataset_preset(tmp_path):
+    """--dataset ade20k --data-root drives the full mmseg pipeline through
+    the trainer (ratio-range resize, cat-max crop, photometric, pad) and the
+    ori-shape eval, resolving n_cls from the preset."""
+    from floodseg_tpu.segm.train import main
+
+    rng = np.random.default_rng(0)
+    ade = tmp_path / "ade"
+    for sub in ("training", "validation"):
+        (ade / "images" / sub).mkdir(parents=True)
+        (ade / "annotations" / sub).mkdir(parents=True)
+        for i in range(4 if sub == "training" else 2):
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+                            ).save(ade / "images" / sub / f"x{i}.jpg")
+            Image.fromarray(rng.integers(0, 10, (48, 64)).astype(np.uint8)
+                            ).save(ade / "annotations" / sub / f"x{i}.png")
+    argv = [
+        "--log-dir", str(tmp_path / "logs"),
+        "--dataset", "ade20k", "--data-root", str(ade),
+        "--im-size", "32", "--crop-size", "32",
+        "--window-size", "32", "--window-stride", "16",
+        "--patch-size", "16", "--d-model", "64", "--n-layers", "1",
+        "--dec-layers", "1", "--batch-size", "2", "--epochs", "1",
+        "--num-devices", "1", "--workers", "2",
+    ]
+    assert main(argv) == 0
+    assert "last" in os.listdir(tmp_path / "logs" / "checkpoints")
