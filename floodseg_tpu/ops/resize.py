@@ -75,3 +75,30 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = True,
     y = jnp.einsum("pw,bhwc->bhpc", mw, y, precision="highest")
     y = y.astype(dtype)
     return y[0] if squeeze else y
+
+
+def resize_argmax(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.ndarray:
+    """``argmax(resize_bilinear(x, size), -1)`` with the resize laid out
+    channels-FIRST: for class-logit maps C is tiny (e.g. 5) and on TPU the
+    NHWC form puts C on the lane dimension, padding 5 -> 128 on the full-
+    resolution f32 intermediate. Transposing the small pre-resize tensor and
+    contracting with W on the lane dim keeps the big intermediate dense.
+    Same interpolation matrices, same f32 'highest' contractions as
+    resize_bilinear, so the argmax agrees up to exact ties. Returns int32
+    class maps of shape (..., H, W)."""
+    h_out, w_out = int(size[0]), int(size[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h_in, w_in, c = x.shape
+    if (h_in, w_in) == (h_out, w_out):
+        y = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        return y[0] if squeeze else y
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=cdt)
+    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=cdt)
+    y = jnp.transpose(x.astype(cdt), (0, 3, 1, 2))
+    y = jnp.einsum("oh,bchw->bcow", mh, y, precision="highest")
+    y = jnp.einsum("pw,bchw->bchp", mw, y, precision="highest")
+    y = jnp.argmax(y, axis=1).astype(jnp.int32)
+    return y[0] if squeeze else y

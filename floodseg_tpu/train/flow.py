@@ -213,11 +213,10 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
             decode_wants_absmax=int8_decode,
             decode_split=_decode_split_ok(variables),
         )
-        logits = interp.predict_clip(
+        return interp.predict_clip(
             frame_prev, frame_next, mvs_left, mvs_right, n,
-            default_grid=dg, out_size=out_size,
+            default_grid=dg, out_size=out_size, argmax_epilogue=True,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     return predict_fn
 
@@ -290,20 +289,19 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
 
     @jax.jit
     def full_fn(variables, frame_prev, frame_next, mvs_left, mvs_right):
-        logits, f_next = _interp(variables).predict_clip(
+        return _interp(variables).predict_clip(
             frame_prev, frame_next, mvs_left, mvs_right, n,
             default_grid=dg, out_size=out_size, return_next_enc=True,
+            argmax_epilogue=True,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), f_next
 
     @jax.jit
     def cached_fn(variables, f_prev_enc, frame_next, mvs_left, mvs_right):
-        logits, f_next = _interp(variables).predict_clip(
+        return _interp(variables).predict_clip(
             None, frame_next, mvs_left, mvs_right, n,
             default_grid=dg, out_size=out_size, f_prev_enc=f_prev_enc,
-            return_next_enc=True,
+            return_next_enc=True, argmax_epilogue=True,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), f_next
 
     return full_fn, cached_fn
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from floodseg_tpu.ops.grid_sample import grid_sample
-from floodseg_tpu.ops.resize import resize_bilinear
+from floodseg_tpu.ops.resize import resize_bilinear, resize_argmax
 
 
 def warp(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -188,6 +188,7 @@ class FlowInterpolator:
         out_size: Optional[tuple] = None,
         f_prev_enc: Optional[jnp.ndarray] = None,
         return_next_enc: bool = False,
+        argmax_epilogue: bool = False,
     ) -> jnp.ndarray:
         """Segment all ``n`` frames of a keyframe window in one program.
 
@@ -207,6 +208,9 @@ class FlowInterpolator:
         to skip re-encoding it; ``return_next_enc`` additionally returns the
         RAW (pre-identity-grid) encoding of frame_next for the next window.
         Eval-mode BN is batch-invariant, so cached and fresh paths match.
+
+        ``argmax_epilogue``: return int32 class maps instead of logits, via
+        the fused channels-first upsample+argmax (resize_argmax).
         """
         ref_frame = frame_prev if frame_prev is not None else frame_next
         h, w = ref_frame.shape[1], ref_frame.shape[2]
@@ -320,7 +324,12 @@ class FlowInterpolator:
                                   axis=0)
         else:
             out = _dec(jnp.concatenate([maps[0][None], maps[1]], axis=0))
-        if out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
+        if argmax_epilogue:
+            # fused channels-first upsample+argmax for the predict programs:
+            # logits have tiny C, and the NHWC resize pads C onto the lane
+            # dim of the full-res f32 intermediate (ops/resize.py)
+            out = resize_argmax(out, out_size, align_corners=True)
+        elif out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
             out = resize_bilinear(out, out_size, align_corners=True)
         if return_next_enc:
             return out, f_next_raw
