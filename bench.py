@@ -60,6 +60,10 @@ def main():
                          "trained head), off for vit")
     ap.add_argument("--no-int8", action="store_true",
                     help="force the full-precision (bf16) decoder")
+    ap.add_argument("--int8-enc", action="store_true",
+                    help="also quantize the ResNet encoder trunk to int8 "
+                         "(W8A8 PTQ, ops/quant.py::int8_resnet_trunk; "
+                         "opt-in — accuracy impact under study)")
     ap.add_argument("--arch", default="pspnet",
                     choices=("pspnet", "deeplabv3", "vit"),
                     help="flow backbone (default pspnet = the reference's "
@@ -155,10 +159,12 @@ def main():
 
     bh, bw = 512 // 16, 512 // 16
     from floodseg_tpu.train.flow import make_cached_flow_predict_fn
+    if args.int8_enc:
+        log("int8 encode: True")
     base_full, base_cached = make_cached_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
         out_size=(size, size), default_grid=default_grid(bh * 16, bw * 16),
-        int8_decode=use_int8,
+        int8_decode=use_int8, int8_encode=args.int8_enc,
     )
     from floodseg_tpu.data.transforms import MEAN, STD
     mean = jnp.asarray(MEAN, jnp.float32)
@@ -342,6 +348,8 @@ def main():
     if args.arch != "pspnet":
         extras["arch"] = args.arch
     extras["int8_decode"] = bool(use_int8)
+    if args.int8_enc:
+        extras["int8_encode"] = True
     print(json.dumps({
         "metric": "segmented_frames_per_sec_per_chip_512px_keyframe_interp",
         "value": round(fps, 2),

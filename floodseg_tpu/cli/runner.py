@@ -1007,7 +1007,8 @@ class Runner:
             feature_based=cfg.model.feature_based, no_warp=cfg.model.no_warp,
             out_size=(cfg.data.resize_h, cfg.data.resize_w),
             default_grid=ds.default_grid,
-            int8_decode=self._int8_decode())
+            int8_decode=self._int8_decode(),
+            int8_encode=cfg.model.int8_encode)
         cached_fns = None
         if self.mesh is None:
             # sequential single-chip video: reuse each window's next-key
@@ -1018,7 +1019,8 @@ class Runner:
                 no_warp=cfg.model.no_warp,
                 out_size=(cfg.data.resize_h, cfg.data.resize_w),
                 default_grid=ds.default_grid,
-                int8_decode=self._int8_decode())
+                int8_decode=self._int8_decode(),
+                int8_encode=cfg.model.int8_encode)
         if self.mesh is not None:
             # clip-parallel inference: one key-frame window per chip
             # (shard_map over ICI; the reference predicts on a single GPU)

@@ -95,6 +95,11 @@ class ModelConfig:
     # MaskTransformer has no int8 path). True forces it (loud error on
     # unsupported heads); False forces full-precision decode.
     int8_decode: Optional[bool] = None
+    # W8A8 PTQ of the whole ResNet trunk in the flow predict programs
+    # (ops/quant.py::int8_resnet_trunk). Opt-in, NOT auto: encoder error
+    # feeds every downstream stage (warps, blends, decode), so it ships off
+    # pending a real-pretrained-weights validation. pspnet/deeplabv3 only.
+    int8_encode: bool = False
     predict_v_id: str = "florida-01"
     save_images: bool = False
     save_video: bool = True

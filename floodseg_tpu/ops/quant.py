@@ -103,12 +103,13 @@ def quantize_activation_dynamic(x: jnp.ndarray, absmax=None):
     return quantize_with_scale(x, scale), scale
 
 
-def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, padding, dilation=(1, 1)):
+def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, padding, dilation=(1, 1),
+              strides=(1, 1)):
     """int8 x int8 -> int32 conv (NHWC/HWIO), the v5e MXU int8 path."""
     dn = lax.conv_dimension_numbers(x_q.shape, w_q.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     return lax.conv_general_dilated(
-        x_q, w_q, window_strides=(1, 1), padding=padding,
+        x_q, w_q, window_strides=strides, padding=padding,
         rhs_dilation=dilation, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
 
@@ -236,6 +237,129 @@ def int8_deeplab_decode(params: Dict[str, Any], stats: Dict[str, Any],
     out = lax.conv_general_dilated(y, w2, (1, 1), ((0, 0), (0, 0)),
                                    dimension_numbers=dn)
     return out + b2
+
+
+def _int8_conv_bn(params, stats, conv_name, bn_name, x_q, sx, *,
+                  strides=(1, 1), padding=((0, 0), (0, 0)), dilation=(1, 1),
+                  eps: float = 1e-5, relu: bool = True):
+    """One quantized conv+foldedBN(+ReLU): int8 input at scale sx -> f32."""
+    w_q, sw, b_f = _fold_quant(params, stats, conv_name, bn_name, eps)
+    acc = conv_int8(x_q, w_q, padding=padding, dilation=dilation,
+                    strides=strides)
+    y = acc.astype(jnp.float32) * (sx * sw) + b_f
+    return jax.nn.relu(y) if relu else y
+
+
+def _conv_bn_relu_folded(params, stats, conv_name, bn_name, x, *,
+                         strides=(1, 1), padding=((0, 0), (0, 0)),
+                         dtype=jnp.bfloat16, eps: float = 1e-5):
+    """Full-precision (compute-dtype) conv with BN folded — the stem path."""
+    w = _require(params, (conv_name, "kernel"), "params")
+    w_f, b_f = fold_bn(w, params[bn_name]["scale"], params[bn_name]["bias"],
+                       stats[bn_name]["mean"], stats[bn_name]["var"], eps)
+    dn = lax.conv_dimension_numbers(x.shape, w_f.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x.astype(dtype), w_f.astype(dtype), strides, padding,
+        dimension_numbers=dn, preferred_element_type=jnp.float32)
+    return jax.nn.relu(y + b_f).astype(dtype)
+
+
+def _int8_bottleneck(p, s, x, stride: int, dilation: int, dtype, eps: float):
+    """models/resnet.py::Bottleneck eval forward, the three bias-free convs
+    (+ downsample) in int8 with their BNs folded. The residual add and ReLU
+    stay full precision; the block input is quantized ONCE (conv1 and the
+    downsample conv share its scale)."""
+    x_q, sx = quantize_activation_dynamic(x)
+    y = _int8_conv_bn(p, s, "conv1", "bn1", x_q, sx, eps=eps).astype(dtype)
+    y_q, sy = quantize_activation_dynamic(y)
+    d = (dilation, dilation)
+    y = _int8_conv_bn(p, s, "conv2", "bn2", y_q, sy, strides=(stride, stride),
+                      padding=(d, d), dilation=d, eps=eps).astype(dtype)
+    y_q, sy = quantize_activation_dynamic(y)
+    y = _int8_conv_bn(p, s, "conv3", "bn3", y_q, sy, relu=False, eps=eps)
+    if "downsample_conv" in p:
+        residual = _int8_conv_bn(p, s, "downsample_conv", "downsample_bn",
+                                 x_q, sx, strides=(stride, stride),
+                                 relu=False, eps=eps)
+    else:
+        residual = x.astype(jnp.float32)
+    return jax.nn.relu(y + residual).astype(dtype)
+
+
+def int8_resnet_trunk(params: Dict[str, Any], stats: Dict[str, Any],
+                      x: jnp.ndarray, *, depth: int = 50,
+                      deep_base: bool = True, semseg_dilation: bool = True,
+                      dtype: Any = jnp.bfloat16,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """models/resnet.py::ResNetFeatures eval forward (dilated os-8 trunks
+    only — both flow backbones) with every bottleneck conv in int8.
+
+    W8A8 PTQ, same recipe as the decoders: BN folded into each bias-free
+    conv, symmetric per-out-channel int8 weights, dynamic per-tensor
+    activation scales computed in-program. The stem runs in the compute
+    dtype (closest to the input, <5% of trunk FLOPs) and residual adds stay
+    full precision, bounding error growth through the 16-33 blocks. Returns
+    c4 (B, H/8, W/8, 2048).
+    """
+    from floodseg_tpu.ops.pool import max_pool
+
+    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[depth]
+    if deep_base:
+        p1 = ((1, 1), (1, 1))
+        x = _conv_bn_relu_folded(params, stats, "conv1", "bn1", x,
+                                 strides=(2, 2), padding=p1, dtype=dtype, eps=eps)
+        x = _conv_bn_relu_folded(params, stats, "conv2", "bn2", x,
+                                 padding=p1, dtype=dtype, eps=eps)
+        x = _conv_bn_relu_folded(params, stats, "conv3", "bn3", x,
+                                 padding=p1, dtype=dtype, eps=eps)
+    else:
+        x = _conv_bn_relu_folded(params, stats, "conv1", "bn1", x,
+                                 strides=(2, 2), padding=((3, 3), (3, 3)),
+                                 dtype=dtype, eps=eps)
+    x = max_pool(x, 3, 2, 1)
+
+    def dils(n, new, prev):
+        if new == 1:
+            return [1] * n
+        if semseg_dilation:
+            return [new] * n
+        return [prev] + [new] * (n - 1)
+
+    stages = [("layer1", blocks[0], 1, [1] * blocks[0]),
+              ("layer2", blocks[1], 2, [1] * blocks[1]),
+              ("layer3", blocks[2], 1, dils(blocks[2], 2, 1)),
+              ("layer4", blocks[3], 1, dils(blocks[3], 4, 2))]
+    for name, n, stride, dd in stages:
+        for i in range(n):
+            key = f"{name}_block{i}"
+            x = _int8_bottleneck(params[key], stats[key], x,
+                                 stride if i == 0 else 1, dd[i], dtype, eps)
+    return x
+
+
+def ppm_folded(params: Dict[str, Any], stats: Dict[str, Any], f: jnp.ndarray,
+               bins=(1, 2, 3, 6), dtype: Any = jnp.bfloat16,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """models/pspnet.py::PPM eval forward with BN folded into the 1x1 bin
+    convs. The bin maps are tiny (<=6x6), so this stays full precision —
+    it exists so the int8 encoder path needs no flax apply for the PPM."""
+    from floodseg_tpu.ops.pool import adaptive_avg_pool
+    from floodseg_tpu.ops.resize import resize_bilinear
+
+    h, w = f.shape[1], f.shape[2]
+    out = [f]
+    for i, b in enumerate(bins):
+        y = adaptive_avg_pool(f.astype(jnp.float32), b)
+        wp, bp = fold_bn(params[f"bin{i}_conv"]["kernel"],
+                         params[f"bin{i}_bn"]["scale"],
+                         params[f"bin{i}_bn"]["bias"],
+                         stats[f"bin{i}_bn"]["mean"],
+                         stats[f"bin{i}_bn"]["var"], eps)
+        y = jax.nn.relu(jnp.einsum("bhwi,io->bhwo", y, wp[0, 0]) + bp)
+        out.append(resize_bilinear(y.astype(dtype), (h, w),
+                                   align_corners=True))
+    return jnp.concatenate(out, axis=-1)
 
 
 def seghead_decode_folded_f32(params: Dict[str, Any], stats: Dict[str, Any],

@@ -162,6 +162,44 @@ def _decode_split_ok(variables) -> bool:
     return "cls" in variables["params"]
 
 
+def _predict_encode(model, variables, int8_encode: bool):
+    """Encode closure for the predict programs: the model's encode method,
+    or the W8A8 PTQ ResNet trunk (ops/quant.py::int8_resnet_trunk) — every
+    bottleneck conv in int8 on the MXU, stem + residual adds + PPM full
+    precision. Opt-in (`model.int8_encode`): unlike the decoder, encoder
+    error feeds EVERY downstream stage (warps, blends, decode), so it ships
+    off by default pending a trained-weights validation. Dispatches on the
+    params structure: pspnet (backbone + ppm) or deeplabv3 (backbone only);
+    vit has no conv trunk and raises."""
+    if not int8_encode:
+        return lambda x: model.apply(variables, x, train=False,
+                                     method="encode")[0]
+    from ..ops import quant
+    dtype = getattr(model, "dtype", jnp.bfloat16)
+    params = variables["params"]
+    if "backbone" not in params or "batch_stats" not in variables:
+        raise ValueError(
+            "int8_encode supports the pspnet/deeplabv3 ResNet trunks; "
+            "use the bf16 encoder for other archs")
+    stats = variables["batch_stats"]
+    depth = getattr(model, "layers", 50)
+    if "ppm" in params:  # pspnet: deep-base stem, all-blocks dilation, +PPM
+        bins = tuple(getattr(model, "bins", (1, 2, 3, 6)))
+
+        def encode(x):
+            c4 = quant.int8_resnet_trunk(
+                params["backbone"], stats["backbone"], x, depth=depth,
+                deep_base=True, semseg_dilation=True, dtype=dtype)
+            return quant.ppm_folded(params["ppm"], stats["ppm"], c4,
+                                    bins=bins, dtype=dtype)
+
+        return encode
+    # deeplabv3: torchvision stem/dilation, encoder output is c4 itself
+    return lambda x: quant.int8_resnet_trunk(
+        params["backbone"], stats["backbone"], x, depth=depth,
+        deep_base=False, semseg_dilation=False, dtype=dtype)
+
+
 def _predict_decode(model, variables, int8_decode: bool):
     """Decode closure for the predict programs: the model's decode method,
     or the int8-quantized decoder — the decoder convs are the predict
@@ -192,7 +230,8 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
                          no_warp: bool = False,
                          out_size: Tuple[int, int] = (1072, 1920),
                          default_grid: Optional[np.ndarray] = None,
-                         int8_decode: bool = False) -> Callable:
+                         int8_decode: bool = False,
+                         int8_encode: bool = False) -> Callable:
     """One jitted program for a whole key-frame window.
 
     Returns fn(variables, frame_prev, frame_next, mvs_left, mvs_right) ->
@@ -206,7 +245,7 @@ def make_flow_predict_fn(model, n: int, feature_based: bool = True,
     @jax.jit
     def predict_fn(variables, frame_prev, frame_next, mvs_left, mvs_right):
         interp = FlowInterpolator(
-            encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
+            encode=_predict_encode(model, variables, int8_encode),
             decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,
@@ -266,7 +305,8 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
                                 no_warp: bool = False,
                                 out_size: Tuple[int, int] = (1072, 1920),
                                 default_grid: Optional[np.ndarray] = None,
-                                int8_decode: bool = False):
+                                int8_decode: bool = False,
+                                int8_encode: bool = False):
     """(full_fn, cached_fn) for sequential-video prediction with key-feature
     reuse: consecutive windows share a key frame, so the previous window's
     encoded next key replaces one of the two encoder passes — numerically
@@ -279,7 +319,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
 
     def _interp(variables):
         return FlowInterpolator(
-            encode=lambda x: model.apply(variables, x, train=False, method="encode")[0],
+            encode=_predict_encode(model, variables, int8_encode),
             decode=_predict_decode(model, variables, int8_decode),
             feature_based=feature_based,
             no_warp=no_warp,

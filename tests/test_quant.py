@@ -214,34 +214,36 @@ def test_runner_int8_auto_resolution():
     assert resolve(None, "deeplabv3") is on_mxu    # DeepLabHead supported
 
 
+def _perturb_bn(tree, key, is_stats):
+    """Non-trivial BN running stats + affine so the folding algebra is
+    actually exercised (init is mean=0/var=1/scale=1/bias=0)."""
+    import zlib
+    out = {}
+    for k, v in tree.items():
+        # crc32, not hash(): str hash is salted per process and would
+        # make the fixture non-deterministic across runs
+        key = jax.random.fold_in(key, zlib.crc32(k.encode()) % 2**30)
+        if isinstance(v, dict):
+            out[k] = _perturb_bn(v, key, is_stats)
+        elif is_stats and k == "mean":
+            out[k] = 0.3 * jax.random.normal(key, v.shape)
+        elif is_stats and k == "var":
+            out[k] = jnp.exp(0.5 * jax.random.normal(key, v.shape))
+        elif not is_stats and k == "scale":
+            out[k] = 1.0 + 0.1 * jax.random.normal(key, v.shape)
+        elif not is_stats and k == "bias" and v.ndim == 1:
+            out[k] = 0.1 * jax.random.normal(key, v.shape)
+        else:
+            out[k] = v
+    return out
+
+
 @pytest.fixture(scope="module")
 def deeplab_vars():
     model = build_model("deeplabv3", classes=5, layers=50, with_aux=False)
     x0 = jnp.zeros((1, 33, 33, 3))
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
-
-    # non-trivial BN running stats + affine in every head BN so the folding
-    # algebra is actually exercised (init is mean=0/var=1/scale=1/bias=0)
-    def perturb(tree, key, is_stats):
-        import zlib
-        out = {}
-        for k, v in tree.items():
-            # crc32, not hash(): str hash is salted per process and would
-            # make the fixture non-deterministic across runs
-            key = jax.random.fold_in(key, zlib.crc32(k.encode()) % 2**30)
-            if isinstance(v, dict):
-                out[k] = perturb(v, key, is_stats)
-            elif is_stats and k == "mean":
-                out[k] = 0.3 * jax.random.normal(key, v.shape)
-            elif is_stats and k == "var":
-                out[k] = jnp.exp(0.5 * jax.random.normal(key, v.shape))
-            elif not is_stats and k == "scale":
-                out[k] = 1.0 + 0.1 * jax.random.normal(key, v.shape)
-            elif not is_stats and k == "bias" and v.ndim == 1:
-                out[k] = 0.1 * jax.random.normal(key, v.shape)
-            else:
-                out[k] = v
-        return out
+    perturb = _perturb_bn
 
     variables = {
         "params": {**variables["params"],
@@ -300,6 +302,122 @@ def test_predict_fn_int8_deeplab_runs(deeplab_vars):
     out_q = np.asarray(q(variables, fp, fn_, ident, ident))
     assert out_q.shape == out_b.shape
     assert (out_q == out_b).mean() > 0.95, (out_q == out_b).mean()
+
+
+@pytest.fixture(scope="module")
+def pspnet_enc_vars():
+    """PSPNet-50 with non-trivial BN stats in the BACKBONE and PPM so the
+    trunk folding algebra is exercised end-to-end."""
+    model = build_model("pspnet", classes=5, layers=50, with_aux=False)
+    x0 = jnp.zeros((1, 33, 33, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    variables = {
+        "params": {**variables["params"],
+                   "backbone": _perturb_bn(variables["params"]["backbone"],
+                                           jax.random.PRNGKey(21), False),
+                   "ppm": _perturb_bn(variables["params"]["ppm"],
+                                      jax.random.PRNGKey(22), False)},
+        "batch_stats": {**variables["batch_stats"],
+                        "backbone": _perturb_bn(
+                            variables["batch_stats"]["backbone"],
+                            jax.random.PRNGKey(23), True),
+                        "ppm": _perturb_bn(variables["batch_stats"]["ppm"],
+                                           jax.random.PRNGKey(24), True)},
+    }
+    return model, variables
+
+
+@pytest.mark.slow
+def test_int8_trunk_tracks_f32_encode(pspnet_enc_vars):
+    """int8 W8A8 ResNet trunk + folded PPM tracks the flax eval encode, and
+    the class maps after a full-precision decode barely move."""
+    model, variables = pspnet_enc_vars
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 33, 33, 3))
+    want = np.asarray(model.apply(variables, x, train=False,
+                                  method="encode")[0], np.float32)
+    p, s = variables["params"], variables["batch_stats"]
+
+    @jax.jit
+    def enc_q(x):
+        c4 = quant.int8_resnet_trunk(p["backbone"], s["backbone"], x,
+                                     depth=50, deep_base=True,
+                                     semseg_dilation=True, dtype=jnp.float32)
+        return quant.ppm_folded(p["ppm"], s["ppm"], c4, dtype=jnp.float32)
+
+    got = np.asarray(enc_q(x), np.float32)
+    assert got.shape == want.shape
+    # feature error small relative to the feature scale, direction intact
+    rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert rel < 0.10, rel
+    assert cos > 0.995, cos
+    # what matters downstream: the decoded class maps
+    dec = jax.jit(lambda f: model.apply(variables, f, train=False,
+                                        method="decode"))
+    agree = (np.asarray(dec(got)).argmax(-1)
+             == np.asarray(dec(want)).argmax(-1)).mean()
+    assert agree > 0.90, agree
+
+
+@pytest.mark.slow
+def test_int8_trunk_deeplab_shape(deeplab_vars):
+    """torchvision-style trunk (7x7 stem, first-block-keeps-prev-dilation)
+    dispatches correctly and tracks the flax encode."""
+    model, variables = deeplab_vars
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 32, 32, 3))
+    want = np.asarray(model.apply(variables, x, train=False,
+                                  method="encode")[0], np.float32)
+    got = np.asarray(jax.jit(
+        lambda x: quant.int8_resnet_trunk(
+            variables["params"]["backbone"],
+            variables["batch_stats"]["backbone"], x, depth=50,
+            deep_base=False, semseg_dilation=False, dtype=jnp.float32))(x),
+        np.float32)
+    assert got.shape == want.shape
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.995, cos
+
+
+@pytest.mark.slow
+def test_predict_fn_int8_encode_runs(pspnet_enc_vars):
+    """The fused predict program compiles with int8_encode and its class
+    maps track the full-precision-encoder program."""
+    from floodseg_tpu.train.flow import make_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid
+
+    model, variables = pspnet_enc_vars
+    n = 3
+    h = w = 33
+    dg = default_grid(h - 1, w - 1)
+    k = jax.random.PRNGKey(8)
+    fp = jax.random.uniform(k, (1, h, w, 3))
+    fn_ = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
+    ident = jnp.broadcast_to(jnp.asarray(dg), (n - 1, 1, *dg.shape))
+
+    base = make_flow_predict_fn(model, n=n, out_size=(h, w), default_grid=dg)
+    q = make_flow_predict_fn(model, n=n, out_size=(h, w), default_grid=dg,
+                             int8_encode=True)
+    out_b = np.asarray(base(variables, fp, fn_, ident, ident))
+    out_q = np.asarray(q(variables, fp, fn_, ident, ident))
+    assert out_q.shape == out_b.shape
+    assert (out_q == out_b).mean() > 0.90, (out_q == out_b).mean()
+
+
+def test_predict_fn_int8_encode_vit_rejects():
+    """Forced int8 encode on a conv-less backbone fails loudly at build."""
+    from floodseg_tpu.train.flow import make_flow_predict_fn
+    from floodseg_tpu.video.grid import default_grid
+
+    model = build_model("vit", classes=5, image_size=64)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    dg = default_grid(64, 64)
+    fn = make_flow_predict_fn(model, n=3, out_size=(64, 64), default_grid=dg,
+                              int8_encode=True)
+    ident = jnp.broadcast_to(jnp.asarray(dg), (2, 1, *dg.shape))
+    x = jnp.zeros((1, 64, 64, 3))
+    with pytest.raises(ValueError, match="int8_encode supports"):
+        fn(variables, x, x, ident, ident)
 
 
 def test_predict_fn_int8_vit_rejects():
