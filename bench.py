@@ -301,6 +301,10 @@ def main():
         log(f"multiclip B={B}: {fr} frames in {dt_m:.3f}s -> "
             f"{extras['multiclip_fps']} frames/s (no key-feature reuse)")
 
+    if args.streams == 1:
+        log("--streams 1 is the default single-stream path (the headline "
+            "fps); pass B >= 2 to measure B concurrent streams with "
+            "per-lane key reuse")
     if args.streams > 1:
         B = args.streams
         # one program advances all B lanes one window; each lane carries its

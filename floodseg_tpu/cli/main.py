@@ -27,8 +27,9 @@ def build_parser():
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--torch_ckpt", default=None,
                    help="import a reference Lightning .ckpt (or bare torch "
-                        "state_dict file) instead of --ckpt_path — "
-                        "validate/test/predict run on the converted weights")
+                        "state_dict file): validate/test/predict run on the "
+                        "converted weights (instead of --ckpt_path); fit "
+                        "warm-starts from them with a fresh optimizer")
     p.add_argument("--wandb", default=None)
     p.add_argument("--runid", default=None)
     p.add_argument("--tag", default=None)
@@ -81,7 +82,9 @@ def main(argv=None):
     runner = Runner(cfg)
 
     if args.subcommand == "fit":
-        state = runner.fit()
+        # --torch_ckpt on fit warm-starts from imported reference weights
+        # (fresh optimizer; a resume of THIS run still wins)
+        state = runner.fit(torch_ckpt=args.torch_ckpt)
         # after_run evaluates the BEST checkpoint, not the (possibly
         # early-stopped, post-best) final state (reference base/cli.py:169-187)
         state = runner.restore_best(state)

@@ -342,7 +342,7 @@ class Runner:
                                   cfg.trainer.limit_train_batches)
         return loaders, steps_per_epoch
 
-    def fit(self):
+    def fit(self, torch_ckpt: Optional[str] = None):
         cfg = self.cfg
         tf = self._transforms()
         loaders, steps_per_epoch = self._train_loaders(tf)
@@ -353,6 +353,11 @@ class Runner:
         state, train_fn, eval_fn = self._build_states_and_steps(max_iter)
         self._eval_fn = eval_fn  # reused by a later validate() call
 
+        if torch_ckpt is not None:
+            # warm-start fine-tuning from an imported reference Lightning
+            # checkpoint (fresh optimizer state; a floodseg resume below,
+            # if one exists, wins — it means THIS run was interrupted)
+            state = self._graft_torch_ckpt(state, torch_ckpt)
         start_epoch = 0
         if cfg.trainer.resume and self.ckpt.last_path is not None:
             # crash recovery / resume-by-runid (base/cli.py:114-118)
@@ -735,12 +740,21 @@ class Runner:
         generator/student params+BN stats, the s4GAN discriminator, and the
         U2PL teacher (marked synced so eval serves it, contrastive.py:176-180).
         """
+        state, _, eval_fn = self._build_states_and_steps(max_iter=1)
+        self._eval_fn = eval_fn
+        state = self._graft_torch_ckpt(state, path)
+        self._state = state
+        return state
+
+    def _graft_torch_ckpt(self, state, path: str):
+        """Graft an imported reference checkpoint's weights into ``state``
+        (any state built by ``_build_states_and_steps`` — eval or train;
+        optimizer state is untouched, so a fit() warm start begins with
+        fresh moments like the reference's own pretrained-backbone init)."""
         from floodseg_tpu.models.lightning_import import (
             graft_variables, load_torch_file,
         )
 
-        state, _, eval_fn = self._build_states_and_steps(max_iter=1)
-        self._eval_fn = eval_fn
         imported = load_torch_file(path)
         if imported["arch"] != self.cfg.model.arch:
             raise ValueError(
@@ -782,7 +796,6 @@ class Runner:
             state = graft_into(state, roles["model"])
         print(f"[import] loaded {fam} {imported['arch']} checkpoint "
               f"(epoch {imported.get('epoch')}) from {path}", flush=True)
-        self._state = state
         return state
 
     def _int8_decode(self) -> bool:

@@ -84,8 +84,11 @@ def resize_argmax(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.ndarr
     resolution f32 intermediate. Transposing the small pre-resize tensor and
     contracting with W on the lane dim keeps the big intermediate dense.
     Same interpolation matrices, same f32 'highest' contractions as
-    resize_bilinear, so the argmax agrees up to exact ties. Returns int32
-    class maps of shape (..., H, W)."""
+    resize_bilinear, and the resized values are rounded back to the input
+    dtype before the argmax (as the unfused form does), so the result is
+    elementwise-equal to ``argmax(resize_bilinear(x, size), -1)`` for every
+    input dtype — including bf16 logits from the int8 decode — up to exact
+    ties. Returns int32 class maps of shape (..., H, W)."""
     h_out, w_out = int(size[0]), int(size[1])
     squeeze = x.ndim == 3
     if squeeze:
@@ -100,5 +103,9 @@ def resize_argmax(x: jnp.ndarray, size, align_corners: bool = True) -> jnp.ndarr
     y = jnp.transpose(x.astype(cdt), (0, 3, 1, 2))
     y = jnp.einsum("oh,bchw->bcow", mh, y, precision="highest")
     y = jnp.einsum("pw,bchw->bchp", mw, y, precision="highest")
-    y = jnp.argmax(y, axis=1).astype(jnp.int32)
+    # round back to the input dtype before the argmax: resize_bilinear
+    # returns dtype-rounded values, so this keeps the fused form
+    # elementwise-equal for bf16 logits too (near-tie pixels otherwise
+    # resolve differently at f32)
+    y = jnp.argmax(y.astype(x.dtype), axis=1).astype(jnp.int32)
     return y[0] if squeeze else y

@@ -465,6 +465,11 @@ def main():
         if "=" in args.gate:
             margins = dict(kv.split("=") for kv in args.gate.split(","))
             margins = {k: float(v) for k, v in margins.items()}
+            unknown = sorted(set(margins) - set(summary["comparison"]))
+            if unknown:
+                raise SystemExit(
+                    f"--gate names unknown metric(s) {unknown}; "
+                    f"valid: {sorted(summary['comparison'])}")
         else:
             margins = {k: float(args.gate) for k in summary["comparison"]}
         failed = [

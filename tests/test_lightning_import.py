@@ -10,6 +10,7 @@ pinned separately (test_models/test_deeplab_import/test_vit_import); these
 tests pin the prefix routing and the graft-coverage guarantees on top.
 """
 
+import os
 import sys
 from types import SimpleNamespace
 
@@ -367,3 +368,80 @@ def test_runner_torch_ckpt_gan_and_contrastive(tmp_path):
         np.asarray(ustate.teacher_params["cls"]["conv2"]["kernel"]),
         teacher.model.cls[4].weight.detach().numpy().transpose(2, 3, 1, 0),
         rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_import_ckpt_script_roundtrip_and_fit_warmstart(tmp_path):
+    """The one untested link in the import chain: scripts/import_ckpt.py's
+    orbax save must restore via ``--ckpt_path`` (load_for_eval) with the
+    imported weights intact, and ``fit(torch_ckpt=...)`` must graft the same
+    weights into a TRAIN state (optimizer untouched) for warm-start
+    fine-tuning."""
+    import runpy
+
+    import yaml
+
+    from floodseg_tpu.data.synthetic import generate_synthetic_dataset
+    from floodseg_tpu.cli.runner import Runner
+    from floodseg_tpu.core.config import load_config
+
+    net = _ref_pspnet(seed=21)
+    ckpt_path = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": _container(model=net), "epoch": 3},
+               str(ckpt_path))
+
+    root = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_frames=12, frame_delta=3,
+        size=(96, 128), num_labeled=6)
+    cfg = {
+        "method": "supervised",
+        "trainer": {"max_epochs": 1, "seed": 0,
+                    "log_dir": str(tmp_path / "logs"), "run_name": "rt",
+                    "num_devices": 1},
+        "model": {"arch": "pspnet", "layers": 50, "classes": CLASSES,
+                  "test_base_size": 128, "pretrained": False,
+                  "save_video": False, "save_images": False},
+        "data": {"data_root": root, "data_variant": "all", "batch_size": 2,
+                 "train_w": 65, "workers": 0, "resize_h": 96,
+                 "resize_w": 128, "frame_delta": 3, "predict_v_id": "synth"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    out = tmp_path / "imported" / "ckpt"
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "import_ckpt.py")
+    old_argv = sys.argv
+    try:
+        sys.argv = ["import_ckpt.py", "--ckpt", str(ckpt_path),
+                    "--config", str(cfg_path), "--out", str(out)]
+        runpy.run_path(script, run_name="__main__")
+    finally:
+        sys.argv = old_argv
+
+    ref_w = net.cls[4].weight.detach().numpy().transpose(2, 3, 1, 0)
+    ref_var = net.layer4[2].bn3.running_var.numpy()
+
+    # --ckpt_path restore path (what the CLI test/predict subcommands use)
+    runner = Runner(load_config([str(cfg_path)], {}))
+    state = runner.load_for_eval(str(out))
+    np.testing.assert_allclose(
+        np.asarray(state.params["cls"]["conv2"]["kernel"]), ref_w, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["backbone"]["layer4_block2"]["bn3"]["var"]),
+        ref_var, rtol=1e-6)
+
+    # fit warm start: graft into a train state (with optimizer state)
+    runner2 = Runner(load_config([str(cfg_path)], {}))
+    tstate, _, _ = runner2._build_states_and_steps(max_iter=5)
+    fresh_opt = tstate.opt_state
+    grafted = runner2._graft_torch_ckpt(tstate, str(ckpt_path))
+    np.testing.assert_allclose(
+        np.asarray(grafted.params["cls"]["conv2"]["kernel"]), ref_w,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grafted.batch_stats["backbone"]["layer4_block2"]["bn3"]["var"]),
+        ref_var, rtol=1e-6)
+    # the optimizer tree is untouched by the graft (fresh moments)
+    assert jax.tree_util.tree_structure(grafted.opt_state) == \
+        jax.tree_util.tree_structure(fresh_opt)

@@ -47,26 +47,30 @@ def test_resize_bilinear_matches_torch(align, in_size, out_size):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 @pytest.mark.parametrize("align", [True, False])
 @pytest.mark.parametrize(
     "in_size,out_size",
     [((65, 65), (513, 513)), ((16, 12), (7, 5)), ((8, 8), (8, 8))],
 )
-def test_resize_argmax_matches_unfused(align, in_size, out_size):
+def test_resize_argmax_matches_unfused(align, in_size, out_size, dtype):
     """The channels-first predict epilogue == argmax(resize) elementwise
-    (same interpolation matrices, f32 'highest' contractions; includes the
-    equal-size branch where it degenerates to a plain argmax)."""
+    (same interpolation matrices, f32 'highest' contractions, same rounding
+    back to the input dtype before the argmax; includes the equal-size
+    branch where it degenerates to a plain argmax). bf16 is the production
+    int8-decode logit dtype — near-tie pixels must resolve identically."""
     from floodseg_tpu.ops.resize import resize_argmax
 
     x = _rng().standard_normal((3, *in_size, 5)).astype(np.float32)
-    fused = np.asarray(resize_argmax(jnp.asarray(x), out_size, align_corners=align))
+    xj = jnp.asarray(x).astype(dtype)
+    fused = np.asarray(resize_argmax(xj, out_size, align_corners=align))
     ref = np.asarray(
-        jnp.argmax(resize_bilinear(jnp.asarray(x), out_size, align_corners=align), -1)
+        jnp.argmax(resize_bilinear(xj, out_size, align_corners=align), -1)
     )
     assert fused.dtype == np.int32
     np.testing.assert_array_equal(fused, ref)
     # HWC (unbatched) roundtrip
-    fused1 = np.asarray(resize_argmax(jnp.asarray(x[0]), out_size, align_corners=align))
+    fused1 = np.asarray(resize_argmax(xj[0], out_size, align_corners=align))
     np.testing.assert_array_equal(fused1, ref[0])
 
 
