@@ -39,6 +39,19 @@ def warp(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return grid_sample(x, grid, align_corners=False)
 
 
+def _pallas_resize_quant_ok(in_shape, out_hw) -> bool:
+    """Gate the fused Pallas resize+quantize to real TPU backends (on CPU
+    the XLA composition is used; the kernel itself is parity-tested in
+    interpreter mode) and to shapes whose per-step blocks fit VMEM."""
+    import os
+    if os.environ.get("FLOODSEG_NO_PALLAS_RESIZE"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from floodseg_tpu.ops.pallas_resize import resize_quantize_supported
+    return resize_quantize_supported(in_shape[1:3], out_hw, in_shape[3])
+
+
 def warp_chain_masked(f: jnp.ndarray, grids: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """Warp each sample through its first ``index`` grids (training path).
 
@@ -299,9 +312,23 @@ class FlowInterpolator:
                     [wf[k] * fwd_list[k][0] + wb[k] * bwd_list[t - 1 - k][0]
                      for k in range(t)], axis=0)
                 if inter.shape[1] != fh or inter.shape[2] != fw:
-                    inter = resize_bilinear(inter, (fh, fw),
-                                            align_corners=True,
-                                            fast_lowp=absmax_hint is not None)
+                    if absmax_hint is not None and _pallas_resize_quant_ok(
+                            inter.shape, (fh, fw)):
+                        # fused Pallas resize+quantize: both interpolation
+                        # axes run in VMEM and the int8 write replaces the
+                        # ~390 MB between-axes HBM intermediate
+                        # (ops/pallas_resize.py; bit-identical to the
+                        # fast_lowp composition below)
+                        from floodseg_tpu.ops.pallas_resize import (
+                            resize_quantize_int8)
+                        from floodseg_tpu.ops.quant import scale_from_absmax
+                        inter = resize_quantize_int8(
+                            inter, scale_from_absmax(absmax_hint), (fh, fw),
+                            align_corners=True)
+                    else:
+                        inter = resize_bilinear(
+                            inter, (fh, fw), align_corners=True,
+                            fast_lowp=absmax_hint is not None)
             maps.append(inter)
 
         if absmax_hint is not None:
@@ -311,7 +338,8 @@ class FlowInterpolator:
             # fuses into its producer instead of re-reading the full stack
             from floodseg_tpu.ops.quant import quantize_with_scale, scale_from_absmax
             s = scale_from_absmax(absmax_hint)
-            maps = [quantize_with_scale(m, s) for m in maps]
+            maps = [m if m.dtype == jnp.int8 else quantize_with_scale(m, s)
+                    for m in maps]
 
         # batched decode (flow/model.py:176-179)
         _dec = (dec if absmax_hint is None
