@@ -10,10 +10,20 @@ both interpolation contractions in VMEM per (map, channel-block) grid step
 and folds the quantization into the output write, so HBM traffic drops to
 read-input + write-int8 (~0.6 GB vs ~1.6 GB).
 
-Numerics are BIT-IDENTICAL to the XLA composition it replaces::
+Numerics are BIT-IDENTICAL to the composition it replaces::
 
     quantize_with_scale(resize_bilinear(x, hw, align_corners, fast_lowp=True),
                         scale)
+
+in its AS-WRITTEN semantics — i.e. with the bf16 output round that
+resize_bilinear's ``astype(dtype)`` denotes actually performed (eager
+execution, interpreter mode, or a fold-proof jitted form). Caveat, pinned in
+tests/test_pallas_resize.py::test_bit_parity_tpu: when the composition is
+jitted as ONE program on TPU, XLA folds the dot's f32->bf16 output convert
+into the quantize's bf16->f32 convert and silently skips that round, so the
+compiled fallback differs from this kernel by +/-1 int8 on ~1.6% of lanes
+(both are within the int8 quantization error that follows; the kernel is
+the faithful one).
 
 - the interpolation matrices are cast to x.dtype (bf16) exactly as
   resize_bilinear(fast_lowp=True) does;
@@ -47,7 +57,14 @@ def _round_to_bf16_grid(y: jnp.ndarray) -> jnp.ndarray:
     finite/inf values, but expressed as integer bit math so no backend can
     fold it away as a dead convert chain (XLA:CPU folds f32->bf16->f32,
     silently skipping the round; lax.reduce_precision is not lowerable in
-    Mosaic)."""
+    Mosaic).
+
+    NaN caveat: a NaN whose payload lives only in the low 16 mantissa bits
+    (e.g. 0x7F800001) rounds to +/-inf here, where the unfused composition
+    would propagate NaN — so on NaN inputs the kernel quantizes those lanes
+    to +/-127 instead of a backend-defined NaN->int8 cast. The production
+    stack is NaN-free (debug_nans-gated in tests/test_sanitizers.py); the
+    divergence is pinned in tests/test_pallas_resize.py."""
     u = jax.lax.bitcast_convert_type(y, jnp.uint32)
     rb = (u >> 16) & jnp.uint32(1)                 # RNE tie-break bit
     u = (u + jnp.uint32(0x7FFF) + rb) & jnp.uint32(0xFFFF0000)

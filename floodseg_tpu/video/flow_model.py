@@ -39,17 +39,19 @@ def warp(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return grid_sample(x, grid, align_corners=False)
 
 
-def _pallas_resize_quant_ok(in_shape, out_hw) -> bool:
+def _pallas_resize_quant_ok(in_shape, out_hw, dtype) -> bool:
     """Gate the fused Pallas resize+quantize to real TPU backends (on CPU
-    the XLA composition is used; the kernel itself is parity-tested in
-    interpreter mode) and to shapes whose per-step blocks fit VMEM."""
+    the XLA composition is used; interpreter-mode + real-TPU bit-parity
+    lives in tests/test_pallas_resize.py) and to shapes whose per-step
+    blocks fit VMEM at the input dtype's width."""
     import os
     if os.environ.get("FLOODSEG_NO_PALLAS_RESIZE"):
         return False
     if jax.default_backend() != "tpu":
         return False
     from floodseg_tpu.ops.pallas_resize import resize_quantize_supported
-    return resize_quantize_supported(in_shape[1:3], out_hw, in_shape[3])
+    return resize_quantize_supported(in_shape[1:3], out_hw, in_shape[3],
+                                     itemsize=jnp.dtype(dtype).itemsize)
 
 
 def warp_chain_masked(f: jnp.ndarray, grids: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
@@ -313,7 +315,7 @@ class FlowInterpolator:
                      for k in range(t)], axis=0)
                 if inter.shape[1] != fh or inter.shape[2] != fw:
                     if absmax_hint is not None and _pallas_resize_quant_ok(
-                            inter.shape, (fh, fw)):
+                            inter.shape, (fh, fw), inter.dtype):
                         # fused Pallas resize+quantize: both interpolation
                         # axes run in VMEM and the int8 write replaces the
                         # ~390 MB between-axes HBM intermediate

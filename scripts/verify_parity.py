@@ -2,9 +2,19 @@
 
 The per-step f64 trajectory oracles (tests/test_*_trajectory.py) prove the
 mechanisms match; this script proves the SYSTEMS converge to the same place.
-Both sides train supervised PSPNet-50 from scratch on ONE synthetic dataset
+Both sides train the SAME method from scratch on ONE synthetic dataset
 (identical files on disk) with identical hyperparameters, then report
-best-val / final-val / test-on-best mIoU side by side.
+best-val / final-val / test-on-best mIoU side by side. ``--method`` picks
+the recipe:
+
+- ``supervised`` (default): supervised PSPNet-50, the reference's
+  supervised.py path.
+- ``flow_supervised``: the paper's headline path — FlowModel keyframe-warp
+  interpolation over FlowPSPNet (flow/supervised.py:21-64, flow/model.py:
+  55-106) with the FlowBaseDataModule no_cropping sizing rules
+  (flow/base.py:360-375), whole-frame val/test.
+- ``gan``: the s4GAN semi-supervised method (gan.py:135-240) — G trained
+  with CE + feature-matching + self-training, D with LSGAN-style BCE.
 
 The torch side runs the reference's OWN code imported from /root/reference —
 model (model/pspnet.py::PSPNetSemi), data (util/dataset.py::SemData,
@@ -124,8 +134,17 @@ def _write_4field_lists(root: str, variant: str = "all") -> str:
 # ---------------------------------------------------------------------------
 
 def run_reference_supervised(root: str, seed: int, epochs: int,
-                             log=print) -> dict:
-    """Train/eval the reference stack (its own modules) on ``root``."""
+                             log=print, data_seed=None) -> dict:
+    """Train/eval the reference stack (its own modules) on ``root``.
+
+    ``data_seed``: when set, DISSECT the seed — ``seed`` controls only the
+    model init (torch RNG up to model construction) while ``data_seed``
+    re-seeds every RNG stream that feeds shuffling + augmentation before
+    the train loop. Used to certify whether the torch stack's stuck basin
+    (PARITY.md) follows the INIT (a property of the reference's own
+    landscape) or the AUG/ORDER stream (where a harness-semantics slip
+    would live).
+    """
     _shim_reference_imports()
     import torch
     from torch.utils.data import DataLoader
@@ -184,7 +203,8 @@ def run_reference_supervised(root: str, seed: int, epochs: int,
     ds_test = SemData("val", root, os.path.join(list_dir, "test.txt"),
                       transform_test)
 
-    gen = torch.Generator().manual_seed(seed)
+    gen = torch.Generator().manual_seed(
+        seed if data_seed is None else data_seed)
     loader = DataLoader(ds_train, batch_size=BATCH, shuffle=True,
                         num_workers=0, drop_last=True, generator=gen)
     steps_per_epoch = len(loader)
@@ -193,6 +213,13 @@ def run_reference_supervised(root: str, seed: int, epochs: int,
     hparams = SimpleNamespace(layers=LAYERS, classes=CLASSES,
                               pretrained=False, semisupervised=False)
     model, modules_head, modules_back = PSPNetSemi(hparams)
+    if data_seed is not None:
+        # dissection: init consumed the `seed` stream above; aug + order
+        # (python random / numpy inside util.transform, torch dropout) now
+        # run from `data_seed`
+        torch.manual_seed(data_seed)
+        np.random.seed(data_seed)
+        _random.seed(data_seed)
     criterion = CriterionOhem(AUX_WEIGHT, thresh=OHEM_THRESH,
                               min_kept=OHEM_MIN_KEPT, ignore_index=IGNORE)
 
@@ -316,6 +343,207 @@ def run_reference_supervised(root: str, seed: int, epochs: int,
             pred, label.numpy(), CLASSES, IGNORE)
         inter_m.update(inter), union_m.update(union)
     test_miou = float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+    out = {
+        "impl": "torch-reference",
+        "seed": seed,
+        "best_val_miou": best["val_miou"],
+        "best_epoch": best["epoch"],
+        "final_val_miou": last_val,
+        "test_miou1": test_miou,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    if data_seed is not None:
+        out["data_seed"] = data_seed
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch reference run — flow_supervised (the headline path)
+# ---------------------------------------------------------------------------
+
+# FlowBaseDataModule no_cropping sizing (flow/base.py:360-375) at the
+# synthetic geometry: train crop 65, resize (int(65*1.5)+1,)*2 = (98, 98),
+# val/test whole-frame at resize_val_test = (65, 65) with the reference's
+# test-width quirk (height from resize_val_test, width from resize_size)
+FLOW_CROP = 65
+FLOW_FRAME_DELTA = 5
+FLOW_VIDEO_HW = (96, 128)  # the synthetic video's true pixel geometry
+FLOW_NO_CROPPING_FACTOR = 1.5
+
+
+def run_reference_flow_supervised(root: str, seed: int, epochs: int,
+                                  log=print) -> dict:
+    """Train/eval the reference's flow_supervised stack on ``root``.
+
+    Uses the reference's OWN modules — FlowData + flow.transform pipelines
+    (flow/dataset.py, flow/transform.py), FlowModel over FlowPSPNet
+    (flow/model.py:55-106, model/pspnet.py:113-141), CriterionOhem with
+    aux_weight=0 (flow/supervised.py:21-30), SGD with layers@lr /
+    {decoder, ppm}@10lr groups (flow/base.py:110-122), poly LR stepped
+    after each optimizer step (base/foundation.py:124-132) — in a
+    verbatim-semantics loop replacing the Lightning shell (which cannot
+    run here: pytorch_lightning is not installed in this image).
+
+    no_cropping=True end to end: train transforms per flow/base.py:366-393
+    (resize to crop*1.5+1, RandScale [1/1.5+0.001, 1.0], blur, flip, rand
+    crop), val = whole-frame resize to (crop, crop) (flow/base.py:395-404),
+    test = whole-frame at the reference's quirky (resize_val_test[0],
+    resize_size[1]) sizing (flow/base.py:407-419), forward + argmax with no
+    sliding window (flow/base.py:163-166).
+
+    One size parameterization, same as the supervised harness's RESIZE: the
+    reference hardcodes its videos' 1072x1920 geometry in get_default_grid
+    (flow/model.py:10-22); the chain-padding identity grid is rebuilt with
+    the same formula at the synthetic video's size so padded entries match
+    the real grids' block shape (they are never consumed by warp_batch —
+    flow/model.py:96-106 stops at index — but must collate).
+    """
+    _shim_reference_imports()
+    import torch
+    from torch.utils.data import DataLoader
+
+    from model.pspnet import FlowPSPNet                  # reference
+    from flow.model import FlowModel                     # reference
+    import flow.dataset as flow_dataset_mod              # reference
+    from flow.dataset import FlowData                    # reference
+    import flow.transform as FT                          # reference
+    from u2pl.utils.loss_helper import CriterionOhem     # reference
+    from util.util import (                              # reference
+        AverageMeter, intersectionAndUnion, poly_learning_rate,
+    )
+    from types import SimpleNamespace
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    import random as _random
+    _random.seed(seed)
+    torch.use_deterministic_algorithms(True)  # base/foundation.py:76
+
+    list_dir = _write_4field_lists(root)
+
+    vh, vw = FLOW_VIDEO_HW
+    bs = 16
+    g = np.zeros((vh // bs, vw // bs, 2))
+    xv, yv = np.meshgrid(np.arange(vw // bs), np.arange(vh // bs))
+    g[:, :, 0] = (xv * bs + bs // 2) / vw * 2 - 1
+    g[:, :, 1] = (yv * bs + bs // 2) / vh * 2 - 1
+    flow_dataset_mod.get_default_grid = lambda: g
+
+    # sizing per FlowBaseDataModule no_cropping (flow/base.py:366-375)
+    crop = FLOW_CROP
+    resize_size = (int(crop * FLOW_NO_CROPPING_FACTOR) + 1,
+                   int(crop * FLOW_NO_CROPPING_FACTOR) + 1)
+    resize_val_test = (crop, crop)
+    scale_min = 1.0 / FLOW_NO_CROPPING_FACTOR + 0.001
+    test_resize = (resize_val_test[0], resize_size[1])  # the width quirk
+
+    transform_train = FT.Compose([
+        FT.Resize(resize_size),
+        FT.IgnoreClasses(None),
+        FT.RandScale([scale_min, 1.0]),
+        FT.RandomGaussianBlur(),
+        FT.RandomHorizontalFlip(),
+        FT.Crop([crop, crop], crop_type="rand", ignore_label=IGNORE),
+        FT.ToTensor(),
+        FT.Normalize(mean=MEAN, std=STD),
+    ])
+    transform_val = FT.Compose([
+        FT.Resize(resize_val_test),
+        FT.IgnoreClasses(None),
+        FT.ToTensor(),
+        FT.Normalize(mean=MEAN, std=STD),
+    ])
+    transform_test = FT.Compose([
+        FT.Resize(test_resize),
+        FT.IgnoreClasses(None),
+        FT.ToTensor(),
+        FT.Normalize(mean=MEAN, std=STD),
+    ])
+
+    ds_train = FlowData(split="train", type="l", data_root=root,
+                        data_list=os.path.join(list_dir, "train.txt"),
+                        transform=transform_train,
+                        frame_delta=FLOW_FRAME_DELTA)
+    ds_val = FlowData(split="val", type="l", data_root=root,
+                      data_list=os.path.join(list_dir, "val.txt"),
+                      transform=transform_val,
+                      frame_delta=FLOW_FRAME_DELTA)
+    ds_test = FlowData(split="test", type="l", data_root=root,
+                       data_list=os.path.join(list_dir, "test.txt"),
+                       transform=transform_test,
+                       frame_delta=FLOW_FRAME_DELTA)
+
+    gen = torch.Generator().manual_seed(seed)
+    loader = DataLoader(ds_train, batch_size=BATCH, shuffle=True,
+                        num_workers=0, drop_last=True, generator=gen)
+    val_loader = DataLoader(ds_val, batch_size=1, shuffle=False,
+                            num_workers=0)
+    test_loader = DataLoader(ds_test, batch_size=1, shuffle=False,
+                             num_workers=0)
+    steps_per_epoch = len(loader)
+    max_iter = steps_per_epoch * epochs
+
+    hparams = SimpleNamespace(layers=LAYERS, classes=CLASSES,
+                              pretrained=False, semisupervised=False)
+    inner = FlowPSPNet(hparams)
+    modules_head = [inner.decoder, inner.ppm]   # flow/base.py:94-97
+    modules_back = [inner.layers]
+    model = FlowModel(inner, feature_based=True, no_warp=False,
+                      no_interpolation_percentage=0.0)
+    criterion = CriterionOhem(0.0, thresh=OHEM_THRESH,
+                              min_kept=OHEM_MIN_KEPT, ignore_index=IGNORE)
+
+    groups = [{"params": m.parameters(), "lr": LR} for m in modules_back]
+    groups += [{"params": m.parameters(), "lr": LR * 10}
+               for m in modules_head]
+    n_back = len(modules_back)
+    opt = torch.optim.SGD(groups, lr=LR, momentum=MOMENTUM,
+                          weight_decay=WEIGHT_DECAY)
+
+    def fwd(batch):
+        return model(None, batch["frame_prev"], batch["frame_next"],
+                     batch["mvs_left"], batch["mvs_right"],
+                     batch["left_index"], batch["right_index"])["pred"]
+
+    def eval_miou(dloader) -> float:
+        model.eval()
+        inter_m, union_m = AverageMeter(), AverageMeter()
+        with torch.no_grad():
+            for batch in dloader:
+                pred = fwd(batch).data.max(1)[1].numpy()
+                inter, union, _ = intersectionAndUnion(
+                    pred, batch["label"].numpy(), CLASSES, IGNORE)
+                inter_m.update(inter), union_m.update(union)
+        return float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+
+    t0 = time.time()
+    best = {"val_miou": -1.0, "epoch": -1, "state": None}
+    last_val = 0.0
+    for epoch in range(epochs):
+        model.train()
+        for batch_idx, batch in enumerate(loader):
+            outs = model(batch["frame_current"], batch["frame_prev"],
+                         batch["frame_next"], batch["mvs_left"],
+                         batch["mvs_right"], batch["left_index"],
+                         batch["right_index"])
+            loss = criterion(outs["pred"], batch["label"])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            cur = poly_learning_rate(
+                LR, steps_per_epoch * epoch + batch_idx + 1, max_iter,
+                power=0.9)
+            for i, gparam in enumerate(opt.param_groups):
+                gparam["lr"] = cur * (10 if i >= n_back else 1)
+        last_val = eval_miou(val_loader)
+        if last_val > best["val_miou"]:
+            best.update(val_miou=last_val, epoch=epoch,
+                        state=copy.deepcopy(model.state_dict()))
+        log(f"[torch-ref-flow seed={seed}] epoch {epoch}: "
+            f"val_miou={last_val:.4f} (best {best['val_miou']:.4f})")
+
+    model.load_state_dict(best["state"])
+    test_miou = eval_miou(test_loader)
     return {
         "impl": "torch-reference",
         "seed": seed,
@@ -330,6 +558,48 @@ def run_reference_supervised(root: str, seed: int, epochs: int,
 # ---------------------------------------------------------------------------
 # floodseg_tpu run
 # ---------------------------------------------------------------------------
+
+def run_floodseg_flow_supervised(root: str, seed: int, epochs: int,
+                                 log_dir: str, log=print) -> dict:
+    """The actual product Runner on flow_supervised, same files + hparams."""
+    import yaml
+
+    from floodseg_tpu.cli.runner import Runner
+    from floodseg_tpu.core.config import load_config
+
+    cfg = {
+        "method": "flow_supervised",
+        "trainer": {"max_epochs": epochs, "seed": seed, "log_dir": log_dir,
+                    "run_name": f"parity-flow-s{seed}", "num_devices": 1,
+                    "early_stopping_patience": 10 ** 6},
+        "model": {"arch": "pspnet", "layers": LAYERS, "classes": CLASSES,
+                  "no_cropping": True, "optim": {"lr": LR},
+                  "loss": {"min_kept": OHEM_MIN_KEPT}, "pretrained": False,
+                  "save_video": False, "save_images": False},
+        "data": {"data_root": root, "data_variant": "all",
+                 "batch_size": BATCH, "train_w": FLOW_CROP, "workers": 2,
+                 "frame_delta": FLOW_FRAME_DELTA, "predict_v_id": "synth"},
+    }
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"parity-flow-s{seed}.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    t0 = time.time()
+    runner = Runner(load_config([path], {}))
+    state = runner.fit()
+    best = float(runner.logger.summary.get("best_val_miou", 0.0))
+    state = runner.restore_best(state)
+    results = runner.test(state)
+    return {
+        "impl": "floodseg_tpu",
+        "seed": seed,
+        "best_val_miou": best,
+        "best_epoch": int(runner.logger.summary.get("best_epoch", -1)),
+        "test_miou1": float(results["test_miou1_epoch"]),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
 
 def run_floodseg_supervised(root: str, seed: int, epochs: int,
                             log_dir: str, log=print) -> dict:
@@ -376,6 +646,19 @@ def run_floodseg_supervised(root: str, seed: int, epochs: int,
 
 
 # ---------------------------------------------------------------------------
+# gan (s4GAN) runners — filled in below
+# ---------------------------------------------------------------------------
+
+def run_reference_gan(root: str, seed: int, epochs: int, log=print) -> dict:
+    raise SystemExit("gan system parity harness not implemented yet")
+
+
+def run_floodseg_gan(root: str, seed: int, epochs: int, log_dir: str,
+                     log=print) -> dict:
+    raise SystemExit("gan system parity harness not implemented yet")
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -389,6 +672,15 @@ def make_dataset(root: str) -> str:
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--seeds", default="1", help="comma-separated seeds")
+    ap.add_argument("--method", default="supervised",
+                    choices=("supervised", "flow_supervised", "gan"),
+                    help="training recipe to compare (see module docstring)")
+    ap.add_argument("--dissect", default=None, metavar="INIT:DATA,...",
+                    help="torch-side seed dissection (supervised only): "
+                         "run the reference with init seed INIT and "
+                         "aug/order seed DATA per pair, to certify whether "
+                         "the stuck basin follows the init or the data "
+                         "stream. Implies --side torch.")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--out", default=None, help="write JSON here")
     ap.add_argument("--workdir", default=None,
@@ -431,15 +723,31 @@ def main():
         make_dataset(root)
     print(f"dataset: {root}")
 
+    run_jax = {"supervised": run_floodseg_supervised,
+               "flow_supervised": run_floodseg_flow_supervised,
+               "gan": run_floodseg_gan}[args.method]
+    run_torch = {"supervised": run_reference_supervised,
+                 "flow_supervised": run_reference_flow_supervised,
+                 "gan": run_reference_gan}[args.method]
+
     results = []
-    for seed in seeds:
-        if args.side in ("both", "jax"):
-            results.append(run_floodseg_supervised(
-                root, seed, args.epochs, os.path.join(workdir, "logs")))
+    if args.dissect:
+        if args.method != "supervised":
+            raise SystemExit("--dissect supports --method supervised only")
+        for pair in args.dissect.split(","):
+            init_s, data_s = (int(v) for v in pair.split(":"))
+            results.append(run_reference_supervised(
+                root, init_s, args.epochs, data_seed=data_s))
             print(json.dumps(results[-1]))
-        if args.side in ("both", "torch"):
-            results.append(run_reference_supervised(root, seed, args.epochs))
-            print(json.dumps(results[-1]))
+    else:
+        for seed in seeds:
+            if args.side in ("both", "jax"):
+                results.append(run_jax(
+                    root, seed, args.epochs, os.path.join(workdir, "logs")))
+                print(json.dumps(results[-1]))
+            if args.side in ("both", "torch"):
+                results.append(run_torch(root, seed, args.epochs))
+                print(json.dumps(results[-1]))
 
     summary = {"results": results}
     by = {}
