@@ -325,6 +325,53 @@ def main():
         log(f"streaming: {n_clips * FRAME_DELTA} frames in {dt_s:.3f}s -> "
             f"{extras['streaming_fps']} frames/s (loader in loop)")
 
+        # per-clip per-stage breakdown (VERDICT r4): isolate each host
+        # stage serially on the same clips and publish medians, so the
+        # model-only vs streaming gap is attributable to a stage (or, by
+        # elimination, to tunnel RTT). The producer thread overlaps
+        # jpg/npy/transform with device compute, so the pipeline's
+        # steady-state clip time ~ max(serial host tail, device compute)
+        # where the serial tail = collate + device_put (single-threaded in
+        # the loader by design — see data/loader.py).
+        from floodseg_tpu.data.dataset import collate as _collate
+
+        def _med_ms(f, args_list):
+            ts = []
+            for a in args_list:
+                t1 = time.perf_counter()
+                f(a)
+                ts.append((time.perf_counter() - t1) * 1e3)
+            return round(float(np.median(ts)), 2)
+
+        n_bd = min(6, len(ds))
+        idxs = list(range(n_bd))
+        bd = {}
+        bd["item_load_ms"] = _med_ms(
+            lambda i: ds.get(i, np.random.default_rng((0, 0, i))), idxs)
+        from floodseg_tpu.data.dataset import _imread
+        vid = ds.video_id
+        bd["jpg_decode_ms"] = _med_ms(
+            lambda i: (_imread(ds.frame_path(vid, i * FRAME_DELTA)),
+                       _imread(ds.frame_path(vid, (i + 1) * FRAME_DELTA))),
+            idxs)
+        bd["grid_npy_ms"] = _med_ms(
+            lambda i: [ds._load_grid(vid, i * FRAME_DELTA + k + 1, name)
+                       for k in range(FRAME_DELTA - 1)
+                       for name in ("grids", "inv_grids")], idxs)
+        items = [ds.get(i, np.random.default_rng((0, 0, i))) for i in idxs]
+        bd["transform_ms"] = round(
+            max(0.0, bd["item_load_ms"] - bd["jpg_decode_ms"]
+                - bd["grid_npy_ms"]), 2)
+        bd["collate_ms"] = _med_ms(lambda i: _collate([items[i]]), idxs)
+        host_batches = [_collate([items[i]]) for i in idxs]
+        bd["device_put_ms"] = _med_ms(
+            lambda i: jax.block_until_ready(
+                tuple(v for v in device_put(host_batches[i]).values()
+                      if hasattr(v, "block_until_ready"))), idxs)
+        bd["device_compute_ms_per_clip"] = round(1000 * FRAME_DELTA / fps, 2)
+        extras["streaming_breakdown"] = bd
+        log(f"streaming breakdown (ms/clip medians): {bd}")
+
     if args.multiclip == 1:
         log("--multiclip 1 is the default single-clip path; "
             "pass B >= 2 to measure the batched-window variant")

@@ -191,8 +191,11 @@ class PadToSize:
 
 def _stats255(normalization: str):
     s = SEG_STATS[normalization]
-    mean = [255.0 * v for v in s["mean"]]
-    std = [255.0 * v for v in s["std"]]
+    # the reference ROUNDS 255*stat to 2 decimals (segm/data/base.py:35:
+    # np.round(255 * np.array(v), 2)) — e.g. deit mean 123.67, not the
+    # imagenet 123.675; reproduce the quirk exactly
+    mean = [float(np.round(255.0 * v, 2)) for v in s["mean"]]
+    std = [float(np.round(255.0 * v, 2)) for v in s["std"]]
     return mean, std
 
 
