@@ -361,14 +361,17 @@ def run_reference_supervised(root: str, seed: int, epochs: int,
 # torch reference run — flow_supervised (the headline path)
 # ---------------------------------------------------------------------------
 
-# FlowBaseDataModule no_cropping sizing (flow/base.py:360-375) at the
-# synthetic geometry: train crop 65, resize (int(65*1.5)+1,)*2 = (98, 98),
-# val/test whole-frame at resize_val_test = (65, 65) with the reference's
-# test-width quirk (height from resize_val_test, width from resize_size)
+# The default (cropping) FlowBaseDataModule configuration at the synthetic
+# geometry: resize to the video size, RandScale + rand-crop 65 for train,
+# center-crop 65 val, sliding-window test (flow/base.py:183-223).
+# NOTE no_cropping is NOT usable at this scale: its sizing formula
+# (flow/base.py:366-370, scale_min = 1/1.5 + 0.001 over resize
+# int(crop*1.5)+1) only guarantees the flow Crop's strict `h > crop_h`
+# assert for crops >= ~215px — the reference's own 433px configs clear it,
+# a 65px CPU-calibration config crashes in the reference's own transform.
 FLOW_CROP = 65
 FLOW_FRAME_DELTA = 5
-FLOW_VIDEO_HW = (96, 128)  # the synthetic video's true pixel geometry
-FLOW_NO_CROPPING_FACTOR = 1.5
+FLOW_SCALE = (0.9, 1.1)  # keeps round(96*0.9)=86 > 65 (the Crop assert)
 
 
 def run_reference_flow_supervised(root: str, seed: int, epochs: int,
@@ -384,12 +387,12 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
     verbatim-semantics loop replacing the Lightning shell (which cannot
     run here: pytorch_lightning is not installed in this image).
 
-    no_cropping=True end to end: train transforms per flow/base.py:366-393
-    (resize to crop*1.5+1, RandScale [1/1.5+0.001, 1.0], blur, flip, rand
-    crop), val = whole-frame resize to (crop, crop) (flow/base.py:395-404),
-    test = whole-frame at the reference's quirky (resize_val_test[0],
-    resize_size[1]) sizing (flow/base.py:407-419), forward + argmax with no
-    sliding window (flow/base.py:163-166).
+    Default (cropping) configuration: train transforms per
+    flow/base.py:377-393 (resize, RandScale, blur, flip, rand crop 65), val
+    = resize + CENTER crop 65 (flow/base.py:395-404), test = resize + the
+    sliding-window compute_output with per-crop crop_motion_vector grid
+    renormalization, softmax-averaged overlaps, argmax
+    (flow/base.py:156-223).
 
     One size parameterization, same as the supervised harness's RESIZE: the
     reference hardcodes its videos' 1072x1920 geometry in get_default_grid
@@ -421,7 +424,7 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
 
     list_dir = _write_4field_lists(root)
 
-    vh, vw = FLOW_VIDEO_HW
+    vh, vw = RESIZE
     bs = 16
     g = np.zeros((vh // bs, vw // bs, 2))
     xv, yv = np.meshgrid(np.arange(vw // bs), np.arange(vh // bs))
@@ -429,18 +432,14 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
     g[:, :, 1] = (yv * bs + bs // 2) / vh * 2 - 1
     flow_dataset_mod.get_default_grid = lambda: g
 
-    # sizing per FlowBaseDataModule no_cropping (flow/base.py:366-375)
     crop = FLOW_CROP
-    resize_size = (int(crop * FLOW_NO_CROPPING_FACTOR) + 1,
-                   int(crop * FLOW_NO_CROPPING_FACTOR) + 1)
-    resize_val_test = (crop, crop)
-    scale_min = 1.0 / FLOW_NO_CROPPING_FACTOR + 0.001
-    test_resize = (resize_val_test[0], resize_size[1])  # the width quirk
+    resize_size = RESIZE          # (h, w); reference hardcodes (1072, 1920)
+    resize_val_test = resize_size  # flow/base.py:374 (no_cropping False)
 
     transform_train = FT.Compose([
         FT.Resize(resize_size),
         FT.IgnoreClasses(None),
-        FT.RandScale([scale_min, 1.0]),
+        FT.RandScale(list(FLOW_SCALE)),
         FT.RandomGaussianBlur(),
         FT.RandomHorizontalFlip(),
         FT.Crop([crop, crop], crop_type="rand", ignore_label=IGNORE),
@@ -450,11 +449,12 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
     transform_val = FT.Compose([
         FT.Resize(resize_val_test),
         FT.IgnoreClasses(None),
+        FT.Crop([crop, crop], crop_type="center", ignore_label=IGNORE),
         FT.ToTensor(),
         FT.Normalize(mean=MEAN, std=STD),
     ])
     transform_test = FT.Compose([
-        FT.Resize(test_resize),
+        FT.Resize(resize_val_test),
         FT.IgnoreClasses(None),
         FT.ToTensor(),
         FT.Normalize(mean=MEAN, std=STD),
@@ -500,20 +500,68 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
     opt = torch.optim.SGD(groups, lr=LR, momentum=MOMENTUM,
                           weight_decay=WEIGHT_DECAY)
 
+    import torch.nn.functional as F
+    from flow.transform import crop_motion_vector   # reference
+
     def fwd(batch):
         return model(None, batch["frame_prev"], batch["frame_next"],
                      batch["mvs_left"], batch["mvs_right"],
                      batch["left_index"], batch["right_index"])["pred"]
 
-    def eval_miou(dloader) -> float:
+    def val_miou() -> float:
+        """validation_step (flow/base.py:141-151): center-crop forward."""
         model.eval()
         inter_m, union_m = AverageMeter(), AverageMeter()
         with torch.no_grad():
-            for batch in dloader:
+            for batch in val_loader:
                 pred = fwd(batch).data.max(1)[1].numpy()
                 inter, union, _ = intersectionAndUnion(
                     pred, batch["label"].numpy(), CLASSES, IGNORE)
                 inter_m.update(inter), union_m.update(union)
+        return float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+
+    def test_image(batch) -> np.ndarray:
+        """compute_output + compute_test_crop (flow/base.py:183-223):
+        sliding 65px crops, per-crop crop_motion_vector grid renorm,
+        align_corners upsample + softmax, count-averaged overlaps."""
+        fp, fn = batch["frame_prev"], batch["frame_next"]
+        ml, mr = batch["mvs_left"], batch["mvs_right"]
+        li, ri = batch["left_index"], batch["right_index"]
+        _, _, new_h, new_w = fp.shape
+        stride = int(np.ceil(crop * 2 / 3))
+        grid_h = int(np.ceil(float(new_h - crop) / stride) + 1)
+        grid_w = int(np.ceil(float(new_w - crop) / stride) + 1)
+        pred_sum = torch.zeros((1, CLASSES, new_h, new_w), dtype=float)
+        cnt = torch.zeros((new_h, new_w), dtype=float)
+        with torch.no_grad():
+            for ih in range(grid_h):
+                for iw in range(grid_w):
+                    e_h = min(ih * stride + crop, new_h)
+                    s_h = e_h - crop
+                    e_w = min(iw * stride + crop, new_w)
+                    s_w = e_w - crop
+                    fpc = fp[:, :, s_h:e_h, s_w:e_w].clone()
+                    fnc = fn[:, :, s_h:e_h, s_w:e_w].clone()
+                    mlc, mrc = crop_motion_vector(
+                        ml, mr, new_h, new_w, e_h - s_h, e_w - s_w, s_h, s_w)
+                    cnt[s_h:e_h, s_w:e_w] += 1
+                    out = model(None, fpc, fnc, mlc, mrc, li, ri)["pred"]
+                    if out.shape[-2:] != (e_h - s_h, e_w - s_w):
+                        out = F.interpolate(out, (e_h - s_h, e_w - s_w),
+                                            mode="bilinear",
+                                            align_corners=True)
+                    pred_sum[:, :, s_h:e_h, s_w:e_w] += F.softmax(out, dim=1)
+        pred_sum /= cnt
+        return pred_sum.data.max(1)[1].numpy()
+
+    def test_miou_fn() -> float:
+        model.eval()
+        inter_m, union_m = AverageMeter(), AverageMeter()
+        for batch in test_loader:
+            pred = test_image(batch)
+            inter, union, _ = intersectionAndUnion(
+                pred, batch["label"].numpy(), CLASSES, IGNORE)
+            inter_m.update(inter), union_m.update(union)
         return float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
 
     t0 = time.time()
@@ -535,7 +583,7 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
                 power=0.9)
             for i, gparam in enumerate(opt.param_groups):
                 gparam["lr"] = cur * (10 if i >= n_back else 1)
-        last_val = eval_miou(val_loader)
+        last_val = val_miou()
         if last_val > best["val_miou"]:
             best.update(val_miou=last_val, epoch=epoch,
                         state=copy.deepcopy(model.state_dict()))
@@ -543,7 +591,8 @@ def run_reference_flow_supervised(root: str, seed: int, epochs: int,
             f"val_miou={last_val:.4f} (best {best['val_miou']:.4f})")
 
     model.load_state_dict(best["state"])
-    test_miou = eval_miou(test_loader)
+    model.eval()
+    test_miou = test_miou_fn()
     return {
         "impl": "torch-reference",
         "seed": seed,
@@ -573,11 +622,13 @@ def run_floodseg_flow_supervised(root: str, seed: int, epochs: int,
                     "run_name": f"parity-flow-s{seed}", "num_devices": 1,
                     "early_stopping_patience": 10 ** 6},
         "model": {"arch": "pspnet", "layers": LAYERS, "classes": CLASSES,
-                  "no_cropping": True, "optim": {"lr": LR},
+                  "optim": {"lr": LR},
                   "loss": {"min_kept": OHEM_MIN_KEPT}, "pretrained": False,
                   "save_video": False, "save_images": False},
         "data": {"data_root": root, "data_variant": "all",
                  "batch_size": BATCH, "train_w": FLOW_CROP, "workers": 2,
+                 "resize_h": RESIZE[0], "resize_w": RESIZE[1],
+                 "scale_min": FLOW_SCALE[0], "scale_max": FLOW_SCALE[1],
                  "frame_delta": FLOW_FRAME_DELTA, "predict_v_id": "synth"},
     }
     os.makedirs(log_dir, exist_ok=True)
