@@ -65,6 +65,16 @@ def main():
                     help="also quantize the ResNet encoder trunk to int8 "
                          "(W8A8 PTQ, ops/quant.py::int8_resnet_trunk; "
                          "opt-in — accuracy impact under study)")
+    ap.add_argument("--out-size", default=None, metavar="HxW",
+                    help="predict OUTPUT size (int32 class maps), e.g. "
+                         "1072x1920 — the production predict emission "
+                         "(reference flow/base.py:275-277). Default: the "
+                         "bench frame size")
+    ap.add_argument("--epilogue-ab", action="store_true",
+                    help="measure the 2x2 upsample/argmax epilogue matrix "
+                         "at --out-size: {fused resize_argmax on/off} x "
+                         "{pallas resize+quantize on/off} (3 extra "
+                         "compiles; TPU only)")
     ap.add_argument("--no-ab", action="store_true",
                     help="skip the pallas resize-kernel on/off A-B (saves "
                          "one extra compile; the A-B only runs when the "
@@ -166,9 +176,15 @@ def main():
     from floodseg_tpu.train.flow import make_cached_flow_predict_fn
     if args.int8_enc:
         log("int8 encode: True")
+    if args.out_size:
+        oh, ow = (int(v) for v in args.out_size.lower().split("x"))
+        out_size = (oh, ow)
+        log(f"predict out_size: {out_size}")
+    else:
+        out_size = (size, size)
     base_full, base_cached = make_cached_flow_predict_fn(
         model, n=FRAME_DELTA, feature_based=True,
-        out_size=(size, size), default_grid=default_grid(bh * 16, bw * 16),
+        out_size=out_size, default_grid=default_grid(bh * 16, bw * 16),
         int8_decode=use_int8, int8_encode=args.int8_enc,
     )
     from floodseg_tpu.data.transforms import MEAN, STD
@@ -268,37 +284,72 @@ def main():
 
     extras = {}
 
-    # pallas resize+quantize kernel A-B (VERDICT r4): rebuild the SAME
-    # programs with FLOODSEG_NO_PALLAS_RESIZE=1 (the gate is read at trace
-    # time) and re-time, so the BENCH JSON states whether the kernel wins on
-    # chip instead of resting on a single-pass reading
-    kernel_active = (use_int8 and jax.default_backend() == "tpu"
-                     and not os.environ.get("FLOODSEG_NO_PALLAS_RESIZE"))
-    if kernel_active and not args.no_ab:
-        os.environ["FLOODSEG_NO_PALLAS_RESIZE"] = "1"
+    # pallas resize+quantize kernel A-B (VERDICT r4): the headline runs the
+    # DEFAULT programs (kernel off since r5 — the first A-B measured the
+    # kernel 9% slower end-to-end, the cause of the r4 918->801 regression);
+    # rebuild with FLOODSEG_PALLAS_RESIZE=1 (read at trace time) and re-time
+    # so the JSON keeps carrying the on/off delta
+    kernel_was_enabled = bool(os.environ.get("FLOODSEG_PALLAS_RESIZE"))
+    kernel_active = use_int8 and jax.default_backend() == "tpu"
+    if kernel_active and not args.no_ab and not kernel_was_enabled:
+        os.environ["FLOODSEG_PALLAS_RESIZE"] = "1"
         try:
-            off_bf, off_bc = make_cached_flow_predict_fn(
+            on_bf, on_bc = make_cached_flow_predict_fn(
                 model, n=FRAME_DELTA, feature_based=True,
-                out_size=(size, size),
+                out_size=out_size,
                 default_grid=default_grid(bh * 16, bw * 16),
                 int8_decode=use_int8, int8_encode=args.int8_enc,
             )
-            off_full = jax.jit(lambda v, frames, mvs: off_bf(
+            on_full = jax.jit(lambda v, frames, mvs: on_bf(
                 v, norm(frames[0]), norm(frames[1]), mvs[0], mvs[1]))
-            off_cached = jax.jit(lambda v, feat, frames, mvs: off_bc(
+            on_cached = jax.jit(lambda v, feat, frames, mvs: on_bc(
                 v, feat, norm(frames[1]), mvs[0], mvs[1]))
-            off_run, _ = make_runner(off_full, off_cached)
+            on_run, _ = make_runner(on_full, on_cached)
             t0 = time.perf_counter()
-            warm(off_run)
-            log(f"A-B (kernel off) compile: {time.perf_counter() - t0:.1f}s")
-            off_passes = time_passes(off_run, 3)
-            off_med = float(np.median(off_passes))
-            extras["fps_resize_kernel_off"] = round(off_med, 2)
-            extras["kernel_delta"] = round(fps - off_med, 2)
-            log(f"pallas resize kernel: on {fps:.1f} / off {off_med:.1f} "
-                f"-> delta {fps - off_med:+.1f} frames/s")
+            warm(on_run)
+            log(f"A-B (kernel on) compile: {time.perf_counter() - t0:.1f}s")
+            on_passes = time_passes(on_run, 3)
+            on_med = float(np.median(on_passes))
+            extras["fps_resize_kernel_on"] = round(on_med, 2)
+            extras["kernel_delta"] = round(on_med - fps, 2)
+            log(f"pallas resize kernel: off(default) {fps:.1f} / on "
+                f"{on_med:.1f} -> delta {on_med - fps:+.1f} frames/s")
         finally:
-            del os.environ["FLOODSEG_NO_PALLAS_RESIZE"]
+            del os.environ["FLOODSEG_PALLAS_RESIZE"]
+
+    if args.epilogue_ab:
+        # 2x2 epilogue matrix at out_size (VERDICT r4: the production
+        # 1072x1920 emission was never A-B'd at its real shape): fused
+        # channels-first resize_argmax vs the unfused argmax(resize)
+        # composition, each with the pallas resize+quantize kernel on/off
+        matrix = {"fused+nopallas": round(fps, 2)}  # == the default program
+        cells = [(True, True), (False, True), (False, False)]
+        for fused, pallas in cells:
+            if pallas:
+                os.environ["FLOODSEG_PALLAS_RESIZE"] = "1"
+            try:
+                bf, bc = make_cached_flow_predict_fn(
+                    model, n=FRAME_DELTA, feature_based=True,
+                    out_size=out_size,
+                    default_grid=default_grid(bh * 16, bw * 16),
+                    int8_decode=use_int8, int8_encode=args.int8_enc,
+                    fused_argmax=fused,
+                )
+                e_full = jax.jit(lambda v, frames, mvs, bf=bf: bf(
+                    v, norm(frames[0]), norm(frames[1]), mvs[0], mvs[1]))
+                e_cached = jax.jit(lambda v, feat, frames, mvs, bc=bc: bc(
+                    v, feat, norm(frames[1]), mvs[0], mvs[1]))
+                e_run, _ = make_runner(e_full, e_cached)
+                warm(e_run)
+                med = float(np.median(time_passes(e_run, 3)))
+                key = (("fused" if fused else "unfused")
+                       + ("+pallas" if pallas else "+nopallas"))
+                matrix[key] = round(med, 2)
+                log(f"epilogue {key}: {med:.1f} frames/s")
+            finally:
+                os.environ.pop("FLOODSEG_PALLAS_RESIZE", None)
+        extras["epilogue_ab"] = matrix
+        extras["epilogue_out_size"] = f"{out_size[0]}x{out_size[1]}"
 
     if args.streaming:
         # end-to-end fps: loader (jpg decode + resize + host->device through

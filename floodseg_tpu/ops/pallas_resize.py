@@ -32,8 +32,16 @@ the faithful one).
 - round/clip/cast match ops/quant.py::quantize_with_scale.
 
 The reference has no analogue (its decode consumes the fp32 stack directly,
-/root/reference/flow/model.py:166-179); this is TPU-side headroom on the
-paper's headline predict path.
+/root/reference/flow/model.py:166-179).
+
+STATUS (r5 measurement): OPT-IN, not production. The isolated-trace
+motivation (save the ~390 MB between-axes HBM round trip) does not survive
+end-to-end: the on-chip A-B (bench.py, median of repeated passes) reads
+798.7 fps WITH the kernel vs 880.2 WITHOUT at the bench shape — the XLA
+composition fuses into its producer/consumer while a pallas_call is a
+fusion barrier, and that costs more than the intermediate saves. Enable
+with ``FLOODSEG_PALLAS_RESIZE=1`` (video/flow_model.py gate); bit-parity
+stays pinned in tests/test_pallas_resize.py.
 """
 
 from functools import partial

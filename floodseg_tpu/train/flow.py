@@ -306,7 +306,8 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
                                 out_size: Tuple[int, int] = (1072, 1920),
                                 default_grid: Optional[np.ndarray] = None,
                                 int8_decode: bool = False,
-                                int8_encode: bool = False):
+                                int8_encode: bool = False,
+                                fused_argmax: bool = True):
     """(full_fn, cached_fn) for sequential-video prediction with key-feature
     reuse: consecutive windows share a key frame, so the previous window's
     encoded next key replaces one of the two encoder passes — numerically
@@ -332,7 +333,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
         return _interp(variables).predict_clip(
             frame_prev, frame_next, mvs_left, mvs_right, n,
             default_grid=dg, out_size=out_size, return_next_enc=True,
-            argmax_epilogue=True,
+            argmax_epilogue=True, fused_argmax=fused_argmax,
         )
 
     @jax.jit
@@ -341,6 +342,7 @@ def make_cached_flow_predict_fn(model, n: int, feature_based: bool = True,
             None, frame_next, mvs_left, mvs_right, n,
             default_grid=dg, out_size=out_size, f_prev_enc=f_prev_enc,
             return_next_enc=True, argmax_epilogue=True,
+            fused_argmax=fused_argmax,
         )
 
     return full_fn, cached_fn

@@ -40,12 +40,17 @@ def warp(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pallas_resize_quant_ok(in_shape, out_hw, dtype) -> bool:
-    """Gate the fused Pallas resize+quantize to real TPU backends (on CPU
-    the XLA composition is used; interpreter-mode + real-TPU bit-parity
-    lives in tests/test_pallas_resize.py) and to shapes whose per-step
-    blocks fit VMEM at the input dtype's width."""
+    """Gate the fused Pallas resize+quantize kernel. DEFAULT OFF: the r5
+    on-chip A-B (bench.py kernel_delta, median-of-passes) measured the
+    fused kernel 9% SLOWER end-to-end (798.7 vs 880.2 fps at the bench
+    shape) despite its isolated-trace motivation — the XLA composition it
+    replaces fuses into neighbors the standalone kernel walls off. Kept as
+    an opt-in (`FLOODSEG_PALLAS_RESIZE=1`) with bit-parity pinned in
+    tests/test_pallas_resize.py, same status as pallas_warp: the measured
+    alternative, not the production path. Requires a real TPU backend and
+    shapes whose per-step blocks fit VMEM at the input dtype's width."""
     import os
-    if os.environ.get("FLOODSEG_NO_PALLAS_RESIZE"):
+    if not os.environ.get("FLOODSEG_PALLAS_RESIZE"):
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -204,6 +209,7 @@ class FlowInterpolator:
         f_prev_enc: Optional[jnp.ndarray] = None,
         return_next_enc: bool = False,
         argmax_epilogue: bool = False,
+        fused_argmax: bool = True,
     ) -> jnp.ndarray:
         """Segment all ``n`` frames of a keyframe window in one program.
 
@@ -226,6 +232,10 @@ class FlowInterpolator:
 
         ``argmax_epilogue``: return int32 class maps instead of logits, via
         the fused channels-first upsample+argmax (resize_argmax).
+        ``fused_argmax=False`` keeps the epilogue as the unfused
+        ``argmax(resize_bilinear(...))`` composition — same values (the
+        fused form is elementwise-equal, ops/resize.py), kept for A-B
+        measurement of the epilogue layouts (bench.py --epilogue-ab).
         """
         ref_frame = frame_prev if frame_prev is not None else frame_next
         h, w = ref_frame.shape[1], ref_frame.shape[2]
@@ -316,11 +326,9 @@ class FlowInterpolator:
                 if inter.shape[1] != fh or inter.shape[2] != fw:
                     if absmax_hint is not None and _pallas_resize_quant_ok(
                             inter.shape, (fh, fw), inter.dtype):
-                        # fused Pallas resize+quantize: both interpolation
-                        # axes run in VMEM and the int8 write replaces the
-                        # ~390 MB between-axes HBM intermediate
-                        # (ops/pallas_resize.py; bit-identical to the
-                        # fast_lowp composition below)
+                        # OPT-IN fused Pallas resize+quantize (default off:
+                        # measured 9% slower end-to-end than the XLA
+                        # composition — see ops/pallas_resize.py STATUS)
                         from floodseg_tpu.ops.pallas_resize import (
                             resize_quantize_int8)
                         from floodseg_tpu.ops.quant import scale_from_absmax
@@ -354,7 +362,11 @@ class FlowInterpolator:
                                   axis=0)
         else:
             out = _dec(jnp.concatenate([maps[0][None], maps[1]], axis=0))
-        if argmax_epilogue:
+        if argmax_epilogue and not fused_argmax:
+            if out.shape[1] != out_size[0] or out.shape[2] != out_size[1]:
+                out = resize_bilinear(out, out_size, align_corners=True)
+            out = jnp.argmax(out, axis=-1).astype(jnp.int32)
+        elif argmax_epilogue:
             # fused channels-first upsample+argmax for the predict programs:
             # logits have tiny C, and the NHWC resize pads C onto the lane
             # dim of the full-res f32 intermediate (ops/resize.py)

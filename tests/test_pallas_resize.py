@@ -99,21 +99,22 @@ def test_supported_threads_itemsize():
     assert fit2, "expected some shape that fits bf16 but not f32"
 
 
-def test_production_gate_env_escape(monkeypatch):
-    """FLOODSEG_NO_PALLAS_RESIZE disables the kernel in the predict program
-    regardless of backend/shape."""
+def test_production_gate_opt_in(monkeypatch):
+    """The kernel is OPT-IN (r5 A-B measured it 9% slower end-to-end than
+    the XLA composition): default OFF regardless of backend/shape; with
+    FLOODSEG_PALLAS_RESIZE=1 it engages only on TPU for fitting shapes at
+    the real dtype's itemsize."""
     from floodseg_tpu.video.flow_model import _pallas_resize_quant_ok
 
-    monkeypatch.setenv("FLOODSEG_NO_PALLAS_RESIZE", "1")
+    monkeypatch.delenv("FLOODSEG_PALLAS_RESIZE", raising=False)
     assert not _pallas_resize_quant_ok((23, 32, 32, 4096), (65, 65),
                                        jnp.bfloat16)
-    monkeypatch.delenv("FLOODSEG_NO_PALLAS_RESIZE")
-    # on the CPU test mesh the backend gate keeps it off too
+    monkeypatch.setenv("FLOODSEG_PALLAS_RESIZE", "1")
     expected = jax.default_backend() == "tpu"
     assert _pallas_resize_quant_ok((23, 32, 32, 4096), (65, 65),
                                    jnp.bfloat16) == expected
     # itemsize threading end-to-end: f32 at a bf16-only-fitting shape is
-    # gated off even on TPU
+    # gated off even when enabled on TPU
     if expected:
         big = next(hw for hw in range(512, 63, -8)
                    if resize_quantize_supported((32, 32), (hw, hw), 4096,
