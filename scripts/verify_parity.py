@@ -697,25 +697,353 @@ def run_floodseg_supervised(root: str, seed: int, epochs: int,
 
 
 # ---------------------------------------------------------------------------
-# gan (s4GAN) runners — filled in below
+# gan (s4GAN) runners
 # ---------------------------------------------------------------------------
 
+GAN_LR = 0.01          # both sides; the reference default 2.5e-4 is tuned
+GAN_LR_D = 1e-3        # for ~40k-step city-scale runs, not a 30-epoch
+                       # synthetic calibration — lr/lr_D are exposed
+                       # hyperparameters on both sides (gan.py:31-34)
+GAN_THRESHOLD_ST = 0.6
+GAN_LAMBDA_FM = 0.1
+GAN_LAMBDA_ST = 1.0
+
+
 def run_reference_gan(root: str, seed: int, epochs: int, log=print) -> dict:
-    raise SystemExit("gan system parity harness not implemented yet")
+    """Train/eval the reference's s4GAN stack (gan.py:135-240) on ``root``.
+
+    The reference's own modules — PSPNet G with {layer0..4}@lr /
+    {ppm, cls, aux}@10lr groups (gan.py:85-88, 108-122), util.gan
+    s4GAN_discriminator / find_good_maps / one_hot, CrossEntropyLoss +
+    BCELoss, SGD(G) + Adam(D, betas=(0.9, 0.99)) (gan.py:242-252) — in a
+    verbatim-semantics loop replacing the Lightning shell. The l/u/gt
+    triple-loader cycling reproduces Lightning's CombinedLoader
+    max_size_cycle: each sub-loader restarts (reshuffled) when exhausted,
+    the epoch length is the LONGEST loader's (gan.py:260-276). Quirks kept:
+    image_gt normalized by image_l's max (gan.py:187), the self-training
+    loss gated off at total step 0 (gan.py:178), aux head in the 10x group
+    but untouched by the loss (no grad -> SGD skips it)."""
+    _shim_reference_imports()
+    import torch
+    import torch.nn.functional as F
+    from torch.utils.data import DataLoader
+
+    import cv2
+    from types import SimpleNamespace
+
+    from model.pspnet import PSPNet                      # reference
+    from util import transform as T                      # reference
+    from util.dataset import SemData                     # reference
+    from util.gan import (                               # reference
+        s4GAN_discriminator, find_good_maps, one_hot,
+    )
+    from util.util import (                              # reference
+        AverageMeter, intersectionAndUnion, poly_learning_rate,
+    )
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    import random as _random
+    _random.seed(seed)
+    torch.use_deterministic_algorithms(True)
+
+    list_dir = _write_4field_lists(root)
+
+    transform_train = T.Compose([
+        T.IgnoreClasses(None),
+        T.Resize(RESIZE),
+        T.RandScale(list(SCALE)),
+        T.RandRotate([-10, 10], padding=MEAN, ignore_label=IGNORE),
+        T.RandomGaussianBlur(),
+        T.RandomHorizontalFlip(),
+        T.Crop([CROP, CROP], crop_type="rand", padding=MEAN,
+               ignore_label=IGNORE),
+        T.ToTensor(),
+        T.Normalize(mean=MEAN, std=STD),
+    ])
+    transform_val = T.Compose([
+        T.IgnoreClasses(None),
+        T.Resize(RESIZE),
+        T.Crop([CROP, CROP], crop_type="center", padding=MEAN,
+               ignore_label=IGNORE),
+        T.ToTensor(),
+        T.Normalize(mean=MEAN, std=STD),
+    ])
+    transform_test = T.Compose([T.Resize(RESIZE), T.ToTensor()])
+
+    ds_l = SemData("train", root, os.path.join(list_dir, "train.txt"),
+                   transform_train)
+    ds_u = SemData("test", root, os.path.join(list_dir, "train_u.txt"),
+                   transform_train)   # foundation.py:447-449
+    ds_val = SemData("val", root, os.path.join(list_dir, "val.txt"),
+                     transform_val)
+    ds_test = SemData("val", root, os.path.join(list_dir, "test.txt"),
+                      transform_test)
+
+    def loader(ds, gseed):
+        return DataLoader(ds, batch_size=BATCH, shuffle=True, num_workers=0,
+                          drop_last=True,
+                          generator=torch.Generator().manual_seed(gseed))
+
+    loaders = {"l": loader(ds_l, seed), "u": loader(ds_u, seed + 1000),
+               "gt": loader(ds_l, seed + 2000)}
+    steps_per_epoch = max(len(dl) for dl in loaders.values())
+    max_iter = steps_per_epoch * epochs
+
+    hparams = SimpleNamespace(layers=LAYERS, classes=CLASSES,
+                              pretrained=False, semisupervised=True)
+    model = PSPNet(hparams)
+    modules_back = [model.layer0, model.layer1, model.layer2, model.layer3,
+                    model.layer4]
+    modules_head = [model.ppm, model.cls, model.aux]
+    model_D = s4GAN_discriminator(num_classes=CLASSES)
+
+    criterion = torch.nn.CrossEntropyLoss(ignore_index=IGNORE)
+    criterion_D = torch.nn.BCELoss()
+
+    groups = [{"params": m.parameters(), "lr": GAN_LR} for m in modules_back]
+    groups += [{"params": m.parameters(), "lr": GAN_LR * 10}
+               for m in modules_head]
+    n_back = len(modules_back)
+    opt_G = torch.optim.SGD(groups, lr=GAN_LR, momentum=MOMENTUM,
+                            weight_decay=5e-4)   # gan.py:35 default
+    opt_D = torch.optim.Adam(model_D.parameters(), lr=GAN_LR_D,
+                             betas=(0.9, 0.99))
+
+    def cycled(name):
+        # CombinedLoader max_size_cycle: restart (re-shuffle) on exhaustion
+        while True:
+            for b in loaders[name]:
+                yield b
+
+    iters = {k: iter(cycled(k)) for k in loaders}
+
+    def val_miou() -> float:
+        model.eval()
+        inter_m, union_m = AverageMeter(), AverageMeter()
+        with torch.no_grad():
+            for i in range(len(ds_val)):
+                image, label = ds_val[i]
+                out = model(image.unsqueeze(0))["pred"]
+                pred = out.data.max(1)[1].numpy()
+                inter, union, _ = intersectionAndUnion(
+                    pred, label.unsqueeze(0).numpy(), CLASSES, IGNORE)
+                inter_m.update(inter), union_m.update(union)
+        return float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+
+    t0 = time.time()
+    best = {"val_miou": -1.0, "epoch": -1, "state": None}
+    last_val = 0.0
+    for epoch in range(epochs):
+        model.train(), model_D.train()
+        for batch_idx in range(steps_per_epoch):
+            image_l, label_l = next(iters["l"])
+            image_u, _ = next(iters["u"])
+            image_gt, label_gt = next(iters["gt"])
+            total_idx = steps_per_epoch * epoch + batch_idx
+
+            opt_G.zero_grad(), opt_D.zero_grad()
+            for p in model_D.parameters():
+                p.requires_grad = False
+
+            pred = model(image_l)["pred"]
+            loss_ce = criterion(pred, label_l.long())
+
+            pred_u = model(image_u)["pred"]
+            image_u = (image_u - torch.min(image_u)) / (
+                torch.max(image_u) - torch.min(image_u))
+            pred_cat = torch.cat((F.softmax(pred_u, dim=1), image_u), dim=1)
+            D_out_z, D_out_y_pred = model_D(pred_cat)
+            pred_sel, labels_sel, count = find_good_maps(
+                D_out_z, pred_u, GAN_THRESHOLD_ST)
+            if count > 0 and total_idx > 0:
+                loss_st = criterion(pred_sel, labels_sel)
+            else:
+                loss_st = 0.0
+
+            D_gt_v = one_hot(label_gt.long(), CLASSES)
+            image_gt = (image_gt - torch.min(image_gt)) / (
+                torch.max(image_l) - torch.min(image_l))   # gan.py:187 quirk
+            D_gt_v_cat = torch.cat((D_gt_v, image_gt), dim=1)
+            D_out_z_gt, D_out_y_gt = model_D(D_gt_v_cat)
+            loss_fm = torch.mean(torch.abs(torch.mean(D_out_y_gt, 0)
+                                           - torch.mean(D_out_y_pred, 0)))
+
+            if count > 0 and total_idx > 0:
+                loss_s = (loss_ce + GAN_LAMBDA_FM * loss_fm
+                          + GAN_LAMBDA_ST * loss_st)
+            else:
+                loss_s = loss_ce + GAN_LAMBDA_FM * loss_fm
+            loss_s.backward()
+
+            for p in model_D.parameters():
+                p.requires_grad = True
+            pred_cat = pred_cat.detach()
+            D_out_z, _ = model_D(pred_cat)
+            y_fake = torch.zeros(D_out_z.size(0), 1)
+            loss_d_fake = criterion_D(D_out_z, y_fake)
+            D_out_z_gt, _ = model_D(D_gt_v_cat.detach())
+            y_real = torch.ones(D_out_z_gt.size(0), 1)
+            loss_d = (loss_d_fake + criterion_D(D_out_z_gt, y_real)) / 2.0
+            loss_d.backward()
+
+            opt_G.step(), opt_D.step()
+            cur = poly_learning_rate(GAN_LR, total_idx + 1, max_iter,
+                                     power=0.9)
+            for i, gparam in enumerate(opt_G.param_groups):
+                gparam["lr"] = cur * (10 if i >= n_back else 1)
+            cur_d = poly_learning_rate(GAN_LR_D, total_idx + 1, max_iter,
+                                       power=0.9)
+            for gparam in opt_D.param_groups:
+                gparam["lr"] = cur_d
+        last_val = val_miou()
+        if last_val > best["val_miou"]:
+            best.update(val_miou=last_val, epoch=epoch,
+                        state=copy.deepcopy(model.state_dict()))
+        log(f"[torch-ref-gan seed={seed}] epoch {epoch}: "
+            f"val_miou={last_val:.4f} (best {best['val_miou']:.4f})")
+
+    model.load_state_dict(best["state"])
+    model.eval()
+
+    # after-fit multi-scale sliding-window test on the best checkpoint,
+    # identical protocol to the supervised harness (foundation.py:177-330)
+    def net_process(image_crop: np.ndarray) -> np.ndarray:
+        inp = torch.from_numpy(image_crop.transpose(2, 0, 1)).float()
+        for t, m, s in zip(inp, MEAN, STD):
+            t.sub_(m).div_(s)
+        inp = inp.unsqueeze(0)
+        inp = torch.cat([inp, inp.flip(3)], 0)
+        with torch.no_grad():
+            out = model(inp)["pred"]
+        if out.shape[-2:] != inp.shape[-2:]:
+            out = F.interpolate(out, inp.shape[-2:], mode="bilinear",
+                                align_corners=True)
+        out = F.softmax(out, dim=1)
+        out = (out[0] + out[1].flip(2)) / 2
+        return out.numpy().transpose(1, 2, 0)
+
+    def test_image(image_chw) -> np.ndarray:
+        image = image_chw.numpy().transpose(1, 2, 0)
+        h, w, _ = image.shape
+        prediction = np.zeros((h, w, CLASSES), dtype=float)
+        for scale in TEST_SCALES:
+            long_size = round(scale * TEST_BASE_SIZE)
+            new_h = new_w = long_size
+            if h > w:
+                new_w = round(long_size / float(h) * w)
+            else:
+                new_h = round(long_size / float(w) * h)
+            img_s = cv2.resize(image, (new_w, new_h),
+                               interpolation=cv2.INTER_LINEAR)
+            ori_h, ori_w, _ = img_s.shape
+            pad_h, pad_w = max(CROP - ori_h, 0), max(CROP - ori_w, 0)
+            ph, pw = int(pad_h / 2), int(pad_w / 2)
+            if pad_h > 0 or pad_w > 0:
+                img_s = cv2.copyMakeBorder(img_s, ph, pad_h - ph, pw,
+                                           pad_w - pw, cv2.BORDER_CONSTANT,
+                                           value=MEAN)
+            nh, nw, _ = img_s.shape
+            stride = int(np.ceil(CROP * 2 / 3))
+            gh = int(np.ceil(float(nh - CROP) / stride) + 1)
+            gw = int(np.ceil(float(nw - CROP) / stride) + 1)
+            pred_c = np.zeros((nh, nw, CLASSES), dtype=float)
+            cnt = np.zeros((nh, nw), dtype=float)
+            for ih in range(gh):
+                for iw in range(gw):
+                    e_h = min(ih * stride + CROP, nh)
+                    s_h = e_h - CROP
+                    e_w = min(iw * stride + CROP, nw)
+                    s_w = e_w - CROP
+                    cnt[s_h:e_h, s_w:e_w] += 1
+                    pred_c[s_h:e_h, s_w:e_w] += net_process(
+                        img_s[s_h:e_h, s_w:e_w].copy())
+            pred_c /= np.expand_dims(cnt, 2)
+            pred_c = pred_c[ph:ph + ori_h, pw:pw + ori_w]
+            prediction += cv2.resize(pred_c, (w, h),
+                                     interpolation=cv2.INTER_LINEAR)
+        prediction /= len(TEST_SCALES)
+        return np.argmax(prediction, axis=2)
+
+    inter_m, union_m = AverageMeter(), AverageMeter()
+    for i in range(len(ds_test)):
+        image, label = ds_test[i]
+        pred = test_image(image)
+        inter, union, _ = intersectionAndUnion(
+            pred, label.numpy(), CLASSES, IGNORE)
+        inter_m.update(inter), union_m.update(union)
+    test_miou = float(np.mean(inter_m.sum / (union_m.sum + 1e-10)))
+    return {
+        "impl": "torch-reference",
+        "seed": seed,
+        "best_val_miou": best["val_miou"],
+        "best_epoch": best["epoch"],
+        "final_val_miou": last_val,
+        "test_miou1": test_miou,
+        "wall_s": round(time.time() - t0, 1),
+    }
 
 
 def run_floodseg_gan(root: str, seed: int, epochs: int, log_dir: str,
                      log=print) -> dict:
-    raise SystemExit("gan system parity harness not implemented yet")
+    """The actual product Runner on the gan method, same files + hparams."""
+    import yaml
+
+    from floodseg_tpu.cli.runner import Runner
+    from floodseg_tpu.core.config import load_config
+
+    cfg = {
+        "method": "gan",
+        "trainer": {"max_epochs": epochs, "seed": seed, "log_dir": log_dir,
+                    "run_name": f"parity-gan-s{seed}", "num_devices": 1,
+                    "early_stopping_patience": 10 ** 6},
+        "model": {"arch": "pspnet", "layers": LAYERS, "classes": CLASSES,
+                  "test_base_size": TEST_BASE_SIZE,
+                  "optim": {"lr": GAN_LR, "lr_D": GAN_LR_D},
+                  "threshold_st": GAN_THRESHOLD_ST,
+                  "lambda_fm": GAN_LAMBDA_FM, "lambda_st": GAN_LAMBDA_ST,
+                  "semisupervised": True, "pretrained": False,
+                  "save_video": False, "save_images": False},
+        "data": {"data_root": root, "data_variant": "all",
+                 "batch_size": BATCH, "train_w": CROP, "workers": 2,
+                 "resize_h": RESIZE[0], "resize_w": RESIZE[1],
+                 "scale_min": SCALE[0], "scale_max": SCALE[1],
+                 "frame_delta": 5, "predict_v_id": "synth"},
+    }
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"parity-gan-s{seed}.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    t0 = time.time()
+    runner = Runner(load_config([path], {}))
+    state = runner.fit()
+    best = float(runner.logger.summary.get("best_val_miou", 0.0))
+    state = runner.restore_best(state)
+    results = runner.test(state)
+    return {
+        "impl": "floodseg_tpu",
+        "seed": seed,
+        "best_val_miou": best,
+        "best_epoch": int(runner.logger.summary.get("best_epoch", -1)),
+        "test_miou1": float(results["test_miou1_epoch"]),
+        "wall_s": round(time.time() - t0, 1),
+    }
 
 
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
-def make_dataset(root: str) -> str:
+def make_dataset(root: str, method: str = "supervised") -> str:
     from floodseg_tpu.data.synthetic import generate_synthetic_dataset
 
+    if method == "gan":
+        # the semi-supervised recipe needs a real unlabeled pool: more
+        # frames, fewer labels -> train_u.txt is non-empty on both sides
+        return generate_synthetic_dataset(
+            root, num_frames=60, frame_delta=5, size=(96, 128),
+            num_labeled=10)
     return generate_synthetic_dataset(
         root, num_frames=30, frame_delta=5, size=(96, 128), num_labeled=20)
 
@@ -769,9 +1097,10 @@ def main():
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="parity_")
     os.makedirs(workdir, exist_ok=True)
-    root = os.path.join(workdir, "data")
+    root = os.path.join(workdir,
+                        "data_gan" if args.method == "gan" else "data")
     if not os.path.exists(os.path.join(root, "list")):
-        make_dataset(root)
+        make_dataset(root, args.method)
     print(f"dataset: {root}")
 
     run_jax = {"supervised": run_floodseg_supervised,
