@@ -882,7 +882,8 @@ def run_reference_gan(root: str, seed: int, epochs: int, log=print) -> dict:
             D_out_z, _ = model_D(pred_cat)
             y_fake = torch.zeros(D_out_z.size(0), 1)
             loss_d_fake = criterion_D(D_out_z, y_fake)
-            D_out_z_gt, _ = model_D(D_gt_v_cat.detach())
+            D_out_z_gt, _ = model_D(D_gt_v_cat)  # gan.py:221 (no detach:
+            # the cat holds no G graph — one_hot labels + input pixels)
             y_real = torch.ones(D_out_z_gt.size(0), 1)
             loss_d = (loss_d_fake + criterion_D(D_out_z_gt, y_real)) / 2.0
             loss_d.backward()
