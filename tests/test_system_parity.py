@@ -48,3 +48,37 @@ def test_system_parity_supervised(tmp_path):
     # the live torch seed lands in its stuck basin.
     assert ours["best_val_miou"] >= 0.38
     assert ours["test_miou1"] >= 0.30
+
+
+@pytest.mark.slow
+def test_system_parity_flow(tmp_path):
+    """flow_supervised (the paper's headline path) converged-system parity.
+
+    Calibration (PARITY_r05_flow.json, 3 seeds/side, 30 epochs): floodseg
+    best-val 0.209±0.006 / test 0.195 vs torch 0.250±0.066 / 0.172. The
+    interp task at this synthetic scale is a weak-signal regime (val is a
+    center-crop of a 96x128 frame, labels live on interpolated frames), so
+    the regime discriminates catastrophic semantics breaks (warp chains,
+    grid renorm, OHEM — a break collapses to <0.1), not fine tuning.
+    torch's single-seed spread is 0.178-0.338 (the same aug-stream variance
+    PARITY.md's dissection certified), floodseg's is 0.201-0.214; margins
+    are ~2 sigma of the delta spread (sigma_t 0.066 dominates).
+    """
+    out = tmp_path / "parity_flow.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_parity.py"),
+         "--method", "flow_supervised",
+         "--seeds", "1", "--epochs", "30", "--out", str(out),
+         "--workdir", str(tmp_path / "w"),
+         "--gate", "best_val_miou=0.16,test_miou1=0.12"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=5400)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "parity gate passed" in proc.stdout
+    summary = json.loads(out.read_text())
+    ours = {r["impl"]: r for r in summary["results"]}["floodseg_tpu"]
+    # absolute floors: every calibrated jax seed reached >= 0.200 best-val
+    # and >= 0.152 test; a semantics break lands far below
+    assert ours["best_val_miou"] >= 0.17
+    assert ours["test_miou1"] >= 0.12
