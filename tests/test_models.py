@@ -25,6 +25,9 @@ def _init(model, x, train):
 
 
 def test_pspnet_shapes():
+    """One full PSPNet-50 init shared by the train/eval/encode/decode shape
+    checks (each full-model compile costs ~30 s on a 1-CPU box, so the fast
+    tier pays for exactly one)."""
     x = jnp.zeros((1, 33, 33, 3))
     m = build_model("pspnet", classes=5, layers=50, semisupervised=True)
     vs = _init(m, x, True)
@@ -37,18 +40,14 @@ def test_pspnet_shapes():
     # eval: only pred
     out_eval = jax.jit(lambda v: m.apply(v, x, train=False))(vs)
     assert set(out_eval) == {"pred"}
-
-
-def test_pspnet_encode_decode_split():
-    x = jnp.zeros((1, 33, 33, 3))
-    m = build_model("pspnet", classes=5, layers=50)
-    vs = _init(m, x, False)
-    f, _ = jax.jit(lambda v: m.apply(v, x, train=False, method="encode"))(vs)
+    # encode/decode split (same variables: rep head params are simply unused)
+    f = m.apply(vs, x, train=False, method="encode")[0]
     assert f.shape == (1, 5, 5, 4096)  # stride 8: (33-1)/8+1, 2048*2 after PPM
-    logits = jax.jit(lambda v, g: m.apply(v, g, train=False, method="decode"))(vs, f)
+    logits = m.apply(vs, f, train=False, method="decode")
     assert logits.shape == (1, 5, 5, 5)
 
 
+@pytest.mark.slow
 def test_deeplabv3_shapes():
     x = jnp.zeros((1, 32, 32, 3))
     m = build_model("deeplabv3", classes=5, layers=50, semisupervised=True)
@@ -62,8 +61,15 @@ def test_deeplabv3_shapes():
 
 
 def test_vit_shapes():
+    """Shape/padding semantics (pad-to-patch-multiple, rep head, pred) do
+    not depend on depth/width, so a tiny ViT keeps this in the fast tier;
+    the full-size ViT-B/32 is covered by the slow-tier timm-converter and
+    trajectory oracles (test_vit_import / test_vit_trajectory)."""
+    from floodseg_tpu.models.vit import SegmenterViT
+
     x = jnp.zeros((1, 64, 64, 3))
-    m = build_model("vit", classes=5, image_size=64, semisupervised=True)
+    m = SegmenterViT(classes=5, image_size=64, patch_size=32,
+                     d_model=64, n_layers=2, dec_layers=1, with_rep=True)
     vs = _init(m, x, True)
     out = jax.jit(
         lambda v: m.apply(v, x, train=True, rngs={"dropout": KEY})
@@ -74,6 +80,9 @@ def test_vit_shapes():
     x2 = jnp.zeros((1, 50, 70, 3))
     out2 = jax.jit(lambda v: m.apply(v, x2, train=False))(vs)
     assert out2["pred"].shape == (1, 50, 70, 5)
+    # the factory still constructs the full-size variant (no init needed)
+    assert build_model("vit", classes=5, image_size=64,
+                       semisupervised=True).d_model == 768
 
 
 def test_discriminator_shapes():

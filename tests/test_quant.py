@@ -28,15 +28,43 @@ def pspnet_vars():
     return model, variables
 
 
+@pytest.fixture(scope="module")
+def pspnet_head_vars():
+    """Head-only variables for the decode-numerics tests: initializing the
+    full PSPNet-50 costs ~35 s of CPU compile, but ``method="decode"`` only
+    touches the ``cls`` SegHead — so init just that submodule (same 4096→
+    512→classes config the model builds at pspnet.py:88) and graft it under
+    the model's variable paths. A structural drift between this and the real
+    head fails loudly: apply() would hit missing params or shape mismatches.
+    """
+    from floodseg_tpu.models.pspnet import SegHead
+
+    model = build_model("pspnet", classes=5, layers=50, with_aux=False)
+    head = SegHead(512, 5)
+    hv = head.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 9, 11, 4096)), train=False)
+    variables = {"params": {"cls": hv["params"]},
+                 "batch_stats": {"cls": hv["batch_stats"]}}
+    # make the BN running stats non-trivial so folding is actually exercised
+    bn = variables["batch_stats"]["cls"]["bn"]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    bn["mean"] = 0.3 * jax.random.normal(k1, bn["mean"].shape)
+    bn["var"] = jnp.exp(0.5 * jax.random.normal(k2, bn["var"].shape))
+    p = variables["params"]["cls"]["bn"]
+    p["scale"] = 1.0 + 0.1 * jax.random.normal(k1, p["scale"].shape)
+    p["bias"] = 0.1 * jax.random.normal(k2, p["bias"].shape)
+    return model, variables
+
+
 def _features(variables, shape=(2, 9, 11)):
     cin = variables["params"]["cls"]["conv1"]["kernel"].shape[2]
     f = jax.random.normal(jax.random.PRNGKey(3), (*shape, cin))
     return jax.nn.relu(f)  # PPM output is post-ReLU (non-negative)
 
 
-def test_fold_bn_matches_eval_decode(pspnet_vars):
+def test_fold_bn_matches_eval_decode(pspnet_head_vars):
     """Folded-BN f32 head == model.apply(method='decode') eval forward."""
-    model, variables = pspnet_vars
+    model, variables = pspnet_head_vars
     f = _features(variables)
     want = model.apply(variables, f, train=False, method="decode")
     got = quant.seghead_decode_folded_f32(
@@ -67,8 +95,8 @@ def test_int8_decode_tracks_f32(pspnet_vars):
     assert agree > 0.98, agree
 
 
-def test_int8_decode_rejects_non_seghead(pspnet_vars):
-    _, variables = pspnet_vars
+def test_int8_decode_rejects_non_seghead(pspnet_head_vars):
+    _, variables = pspnet_head_vars
     f = _features(variables)
     with pytest.raises(ValueError, match="SegHead"):
         quant.int8_seghead_decode({"conv1": {}},
@@ -168,9 +196,14 @@ def test_int8_decode_on_trained_model(trained_pspnet_head):
     assert acc >= acc_f32 - 0.01, (acc, acc_f32)
 
 
+@pytest.mark.slow
 def test_predict_fn_int8_runs(pspnet_vars):
     """The fused predict program compiles and runs with int8_decode, and its
-    class maps match the bf16-decode program almost everywhere."""
+    class maps match the bf16-decode program almost everywhere.
+
+    Slow tier: two full predict-program compiles over PSPNet-50 (~55 s on a
+    1-CPU box); the fast tier keeps the decode-numerics pins (fold_bn) and
+    the flow-program smokes in test_train_flow."""
     from floodseg_tpu.train.flow import make_flow_predict_fn
     from floodseg_tpu.video.grid import default_grid
 
@@ -279,9 +312,13 @@ def test_int8_deeplab_tracks_f32(deeplab_vars):
     assert agree > 0.95, agree
 
 
+@pytest.mark.slow
 def test_predict_fn_int8_deeplab_runs(deeplab_vars):
     """The fused flow-predict program routes deeplabv3 through the int8
-    DeepLabHead and its class maps match the full-precision program."""
+    DeepLabHead and its class maps match the full-precision program.
+
+    Slow tier (same reasoning as the pspnet counterpart): two full
+    predict-program compiles over DeepLabV3-50."""
     from floodseg_tpu.train.flow import make_flow_predict_fn
     from floodseg_tpu.video.grid import default_grid
 
@@ -404,11 +441,16 @@ def test_predict_fn_int8_encode_runs(pspnet_enc_vars):
 
 
 def test_predict_fn_int8_encode_vit_rejects():
-    """Forced int8 encode on a conv-less backbone fails loudly at build."""
+    """Forced int8 encode on a conv-less backbone fails loudly at build.
+
+    A tiny ViT suffices: the gate dispatches on the model TYPE before any
+    compute, so depth/width are irrelevant (full-size init costs ~14 s)."""
     from floodseg_tpu.train.flow import make_flow_predict_fn
     from floodseg_tpu.video.grid import default_grid
+    from floodseg_tpu.models.vit import SegmenterViT
 
-    model = build_model("vit", classes=5, image_size=64)
+    model = SegmenterViT(classes=5, image_size=64, patch_size=32,
+                         d_model=64, n_layers=1, dec_layers=1)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 64, 64, 3)), train=False)
     dg = default_grid(64, 64)
@@ -421,11 +463,14 @@ def test_predict_fn_int8_encode_vit_rejects():
 
 
 def test_predict_fn_int8_vit_rejects():
-    """Forced int8 on an unsupported decoder fails loudly at build time."""
+    """Forced int8 on an unsupported decoder fails loudly at build time
+    (tiny ViT: the gate dispatches on model type, not weights)."""
     from floodseg_tpu.train.flow import make_flow_predict_fn
     from floodseg_tpu.video.grid import default_grid
+    from floodseg_tpu.models.vit import SegmenterViT
 
-    model = build_model("vit", classes=5, image_size=64)
+    model = SegmenterViT(classes=5, image_size=64, patch_size=32,
+                         d_model=64, n_layers=1, dec_layers=1)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 64, 64, 3)), train=False)
     dg = default_grid(64, 64)
