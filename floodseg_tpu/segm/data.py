@@ -257,6 +257,27 @@ class SegListDataset(SegFolderDataset):
                 f"no annotated stems from {split_file} under {ann_dir}")
 
 
+def segm_presets():
+    """Per-dataset constants mirroring the reference's config files
+    (segm/data/config/{ade20k,cityscapes,pascal_context}.py): class count,
+    the file's ``max_ratio`` literal (ade20k.py:10 -> 4, cityscapes.py:8 ->
+    2, pascal_context.py:10 -> 8), zero-label reduction, names + palette."""
+    from floodseg_tpu.segm import catalog
+
+    return {
+        "ade20k": dict(n_cls=150, max_ratio=4, reduce_zero_label=True,
+                       names=catalog.ADE20K_NAMES,
+                       palette=catalog.ADE20K_PALETTE),
+        "cityscapes": dict(n_cls=19, max_ratio=2, reduce_zero_label=False,
+                           names=catalog.CITYSCAPES_NAMES,
+                           palette=catalog.CITYSCAPES_PALETTE),
+        "pascal_context": dict(n_cls=60, max_ratio=8,
+                               reduce_zero_label=False,
+                               names=catalog.PASCAL_CONTEXT_NAMES,
+                               palette=catalog.PASCAL_CONTEXT_PALETTE),
+    }
+
+
 def segm_dataset(name: str, root: str, split: str = "train",
                  image_size: int = 512, crop_size: int = 512,
                  normalization: str = "vit"):
@@ -273,26 +294,17 @@ def segm_dataset(name: str, root: str, split: str = "train",
                       root/gtFine/<split>/<city>/*_gtFine_labelTrainIds.png;
                       19 train classes; max_ratio 2 (2048x1024 frames)
       pascal_context: root/VOCdevkit/VOC2010 (VOC-style split lists);
-                      60 classes; max_ratio 3 (the reference's 480x480
-                      config uses unpadded ~1.6 aspect; 3 covers it)
+                      60 classes; max_ratio 8 (config/pascal_context.py:10;
+                      at ~1.6 image aspect the keep-ratio factor is bound
+                      by the short side, so ratios 3..8 behave identically
+                      on real VOC frames — the binding still follows the
+                      reference file)
     """
-    from floodseg_tpu.segm import catalog
     from floodseg_tpu.segm.pipeline import (
         build_mmseg_train_pipeline, build_mmseg_eval_pipeline,
     )
 
-    presets = {
-        "ade20k": dict(n_cls=150, max_ratio=4, reduce_zero_label=True,
-                       names=catalog.ADE20K_NAMES,
-                       palette=catalog.ADE20K_PALETTE),
-        "cityscapes": dict(n_cls=19, max_ratio=2, reduce_zero_label=False,
-                           names=catalog.CITYSCAPES_NAMES,
-                           palette=catalog.CITYSCAPES_PALETTE),
-        "pascal_context": dict(n_cls=60, max_ratio=3,
-                               reduce_zero_label=False,
-                               names=catalog.PASCAL_CONTEXT_NAMES,
-                               palette=catalog.PASCAL_CONTEXT_PALETTE),
-    }
+    presets = segm_presets()
     if name not in presets:
         raise ValueError(f"unknown dataset {name!r}; have {sorted(presets)}")
     meta = presets[name]

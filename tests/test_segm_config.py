@@ -132,3 +132,80 @@ def test_ade20k_train_golden_frozen():
 
 
 GOLDEN_TRAIN_STATS = (0.113764, 0.322735, 9822, 0)  # frozen 2026-08-20
+
+
+def test_cityscapes_train_pipeline_matches_reference_config():
+    """cityscapes config binding (config/cityscapes.py:7-20 + base.py
+    overrides): max_ratio=2 -> img_scale=(2048, 1024), crop 768 != S (the
+    one reference dataset where crop and image size differ), Pad to the
+    CROP size, deit/imagenet normalization with the base.py:35 two-decimal
+    rounding. Op sequence identical to ade20k (the configs share it)."""
+    S, C = 1024, 768
+    pipe = build_mmseg_train_pipeline(image_size=S, crop_size=C,
+                                      max_ratio=2, normalization="deit")
+    ops = pipe.transforms
+    assert [type(o).__name__ for o in ops] == [
+        "RatioRangeResize", "RandomCropCatMax", "RandomHorizontalFlip",
+        "PhotoMetricDistortion", "Normalize", "PadToSize",
+    ]
+    rr, crop, flip, pmd, norm, pad = ops
+    # config literal img_scale=(2048, 1024) == (max_ratio*S, S)
+    assert rr.img_scale == (2048, 1024) and rr.ratio_range == (0.5, 2.0)
+    assert crop.crop_size == (C, C) and crop.cat_max_ratio == 0.75
+    assert flip.p == 0.5
+    np.testing.assert_allclose(norm.mean, [123.68, 116.28, 103.53],
+                               rtol=1e-6)  # stored as float32
+    np.testing.assert_allclose(norm.std, [58.4, 57.12, 57.38], rtol=1e-6)
+    # Pad(size=crop_size): the padded canvas is the crop, not the image size
+    assert pad.size == (C, C) and pad.pad_val == 0
+    assert pad.seg_pad_val == IGNORE_LABEL == 255
+
+
+def test_pascal_context_eval_img_scale_binding():
+    """pascal_context config: max_ratio=8 (config/pascal_context.py:10), so
+    the eval MultiScaleFlipAug img_scale becomes (512*8, 512)
+    (config/pascal_context.py:27); the registry must carry the file's
+    literal, and the eval resize must bind it."""
+    from floodseg_tpu.segm.data import segm_presets
+
+    presets = segm_presets()
+    assert presets["pascal_context"]["max_ratio"] == 8
+    assert presets["ade20k"]["max_ratio"] == 4
+    assert presets["cityscapes"]["max_ratio"] == 2
+    pipe = build_mmseg_eval_pipeline(
+        image_size=512, max_ratio=presets["pascal_context"]["max_ratio"],
+        normalization="vit")
+    assert pipe.transforms[0].img_scale == (4096, 512)
+    # keep-ratio sizing: a 1.6-aspect frame is short-side-bound, so ratios
+    # 3..8 coincide on real VOC shapes (the binding, not behavior, differs)
+    img = np.zeros((375, 500, 3), np.uint8)
+    out = pipe({"frame_current": img}, np.random.default_rng(0))
+    f = min(4096 / 500, 512 / 375)
+    assert out["frame_current"].shape[:2] == (
+        int(375 * f + 0.5), int(500 * f + 0.5))
+
+
+def test_cityscapes_train_golden_frozen_crop_ne_image():
+    """Composite train pipeline with crop != image_size (the cityscapes
+    shape regime, scaled down) under a fixed rng: frozen output statistics
+    catch drift in the crop/pad interaction that the ade20k golden (crop ==
+    S) cannot see."""
+    img, label = _fixture()
+    pipe = build_mmseg_train_pipeline(image_size=64, crop_size=48,
+                                      max_ratio=2, normalization="deit")
+    s1 = pipe({"frame_current": img.copy(), "label": label.copy()},
+              np.random.default_rng(7))
+    s2 = pipe({"frame_current": img.copy(), "label": label.copy()},
+              np.random.default_rng(7))
+    assert s1["frame_current"].shape == (48, 48, 3)
+    assert s1["label"].shape == (48, 48)
+    np.testing.assert_array_equal(s1["frame_current"], s2["frame_current"])
+    np.testing.assert_array_equal(s1["label"], s2["label"])
+    got = (round(float(s1["frame_current"].mean()), 6),
+           round(float(s1["frame_current"].std()), 6),
+           int(s1["label"][s1["label"] != 255].sum()),
+           int((s1["label"] == 255).sum()))
+    assert got == GOLDEN_CITYSCAPES_TRAIN_STATS, got
+
+
+GOLDEN_CITYSCAPES_TRAIN_STATS = (0.795162, 0.634381, 2992, 0)  # frozen 2026-08-20
