@@ -274,8 +274,8 @@ def main():
 
     t0 = time.perf_counter()
     out = warm(run)
-    log(f"compile+first clip: {time.perf_counter() - t0:.1f}s, "
-        f"out {out.shape} {out.dtype}")
+    compile_s = time.perf_counter() - t0
+    log(f"compile+first clip: {compile_s:.1f}s, out {out.shape} {out.dtype}")
 
     fps_passes = time_passes(run, PASSES, trace_dir=args.trace)
     fps = float(np.median(fps_passes))
@@ -291,6 +291,17 @@ def main():
     # so the JSON keeps carrying the on/off delta
     kernel_was_enabled = bool(os.environ.get("FLOODSEG_PALLAS_RESIZE"))
     kernel_active = use_int8 and jax.default_backend() == "tpu"
+    if kernel_active and compile_s > 300 and not args.no_ab:
+        # Degraded-tunnel guard: the A-B costs a SECOND full compile. When
+        # the first one took >5 min (relay-side slowness, observed 10x
+        # swings), skip the A-B so the headline number still lands within
+        # any outer timeout; the delta is a stable program property
+        # (measured -81 fps, see README) not worth re-paying a slow compile
+        # for every run.
+        log(f"skipping kernel A-B: first compile took {compile_s:.0f}s "
+            "(degraded tunnel); headline passes are unaffected")
+        extras["kernel_ab_skipped"] = f"compile {compile_s:.0f}s > 300s"
+        args.no_ab = True
     if kernel_active and not args.no_ab and not kernel_was_enabled:
         os.environ["FLOODSEG_PALLAS_RESIZE"] = "1"
         try:
