@@ -291,7 +291,8 @@ def main():
     # so the JSON keeps carrying the on/off delta
     kernel_was_enabled = bool(os.environ.get("FLOODSEG_PALLAS_RESIZE"))
     kernel_active = use_int8 and jax.default_backend() == "tpu"
-    if kernel_active and compile_s > 300 and not args.no_ab:
+    if (kernel_active and compile_s > 300 and not args.no_ab
+            and not kernel_was_enabled):
         # Degraded-tunnel guard: the A-B costs a SECOND full compile. When
         # the first one took >5 min (relay-side slowness, observed 10x
         # swings), skip the A-B so the headline number still lands within

@@ -38,14 +38,9 @@ def build_parser():
 
 
 def main(argv=None):
-    import os
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor an explicit JAX_PLATFORMS even under launchers whose
-        # sitecustomize force-sets jax_platforms at interpreter start
-        # (which would otherwise silently steal the TPU tunnel from a
-        # run that asked for cpu). No-op when the env var is unset.
-        import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from floodseg_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()

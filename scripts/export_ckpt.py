@@ -40,13 +40,9 @@ def roles_from_state(method: str, state) -> dict:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor an explicit JAX_PLATFORMS even under launchers whose
-        # sitecustomize force-sets jax_platforms at interpreter start
-        # (same guard as cli/main.py)
-        import jax
+    from floodseg_tpu.core.platform import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--config", action="append", default=[],
                     help="floodseg config YAML(s) selecting method/arch "
@@ -70,7 +66,16 @@ def main():
     cfg = load_config(args.config, parse_cli_overrides(
         [f"--{kv}" if not kv.startswith("--") else kv for kv in args.set]))
     runner = Runner(cfg)
-    state = runner.load_for_eval(args.ckpt)
+    path = args.ckpt or runner.ckpt.last_path or runner.ckpt.best_path
+    if path is None:
+        # load_for_eval would fall back to a FRESH INIT with only a stdout
+        # note — exporting that as a "checkpoint" would hand the reference
+        # stack untrained weights. Exporting demands a real checkpoint.
+        raise SystemExit(
+            "no checkpoint to export: pass --ckpt <orbax dir>, or point "
+            "--config at a run whose log dir contains one (this config "
+            f"resolves to {runner.logger.log_dir!r} with no checkpoints)")
+    state = runner.load_for_eval(path)
 
     ckpt = export_lightning_checkpoint(
         cfg.model.arch, roles_from_state(cfg.method, state), cfg.method,

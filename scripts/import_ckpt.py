@@ -22,14 +22,9 @@ if REPO not in sys.path:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor an explicit JAX_PLATFORMS even under launchers whose
-        # sitecustomize force-sets jax_platforms at interpreter start
-        # (same guard as cli/main.py — without it, JAX_PLATFORMS=cpu runs
-        # silently grab the TPU tunnel and crawl)
-        import jax
+    from floodseg_tpu.core.platform import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--ckpt", required=True,
                     help="reference Lightning .ckpt or bare state_dict .pth")

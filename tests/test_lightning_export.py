@@ -37,26 +37,11 @@ from floodseg_tpu.models.lightning_export import (  # noqa: E402
 from floodseg_tpu.models.lightning_import import (  # noqa: E402
     import_lightning_checkpoint,
 )
+# shared fabrication helpers — the import and export suites must fabricate
+# IDENTICAL layouts, so they use one implementation
+from test_lightning_import import _container, _ref_pspnet  # noqa: E402
 
 CLASSES = 5
-
-
-def _container(**attrs) -> dict:
-    c = tnn.Module()
-    for k, v in attrs.items():
-        setattr(c, k, v)
-    return c.state_dict()
-
-
-def _ref_pspnet(semisupervised=False, seed=0):
-    shim_skimage()
-    from model.pspnet import PSPNetSemi  # reference
-
-    torch.manual_seed(seed)
-    hp = SimpleNamespace(layers=50, classes=CLASSES, pretrained=False,
-                         semisupervised=semisupervised)
-    model, _, _ = PSPNetSemi(hp)
-    return model
 
 
 def _roundtrip(ckpt, family, arch):
